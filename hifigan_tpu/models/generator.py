@@ -1,0 +1,392 @@
+"""Modified HiFi-GAN generator — ODConv + GRC-LoRA + FiLM, TPU-native.
+
+Capability parity with
+``/root/reference/hifigan_modified/generator.py:201-303``:
+
+    mel [B, 80, T] + speaker [B, 192] + emotion [B, 256]
+      → input conv (80→512, k=7) → FiLM
+      → 4 ODConv upsample stages (factors 8·8·2·2, kernel 2f, stride f,
+        channels halving 512→256→128→64→32), LeakyReLU(0.1) + FiLM each
+      → 3 MRF stacks of GRC-LoRA blocks (k ∈ {3,7,11} × dilations {1,3,5})
+        with residual + FiLM
+      → output conv (→1, k=7) → tanh → wav [B, 1, 256·T]
+
+Deliberate deviations from the reference, per SURVEY.md §7 ("implement
+the stated architecture, record deviations"):
+
+* **Upsampling actually upsamples.** The reference's generator calls its
+  ODConv with ``stride=f`` through ``F.conv1d`` (``generator.py:92-94``),
+  which *downsamples*; its own ``ODConvTranspose1d``
+  (``odconv.py:110-205``) shows the stated intent.  We use the dynamic
+  *transposed* conv so 80-mel frames → 256× audio samples.
+* **All four ODConv attentions are applied** (the reference's
+  ``odconv.py`` forward computes but drops spatial/channel attention).
+* **FiLM conditions on concat(spk, emo)** (the reference's generator
+  FiLM adds a 192-d and a 256-d vector, which cannot broadcast; its
+  ``grc_lora.py`` FiLM variant concatenates — we follow the latter).
+* **LoRA ``B`` initialises to zero** (stated LoRA design) instead of
+  ``randn``.
+
+All compute runs channels-last ``[B, T, C]`` with static shapes; the
+dynamic convs lower to batched einsums on the MXU
+(:mod:`hifigan_tpu.ops.conv`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from hifigan_tpu.ops import conv as conv_ops
+from hifigan_tpu.ops import grc_lora as lora_ops
+from hifigan_tpu.ops import odconv as od_ops
+from hifigan_tpu.ops.film import film
+
+Array = jax.Array
+
+
+@dataclass(frozen=True)
+class GeneratorConfig:
+    """Hyper-parameters (defaults = reference ``generator.py:204-208``)."""
+
+    input_channels: int = 80
+    hidden_channels: int = 512
+    kernel_size: int = 7
+    upsample_factors: Tuple[int, ...] = (8, 8, 2, 2)
+    resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
+    resblock_dilations: Tuple[Tuple[int, ...], ...] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    speaker_dim: int = 192
+    emotion_dim: int = 256
+    odconv_k: int = 4
+    lora_rank: int = 8
+    grc_groups: int = 4
+    leaky_slope: float = 0.1
+
+    @property
+    def cond_dim(self) -> int:
+        return self.speaker_dim + self.emotion_dim
+
+    @property
+    def upsample_ratio(self) -> int:
+        r = 1
+        for f in self.upsample_factors:
+            r *= f
+        return r
+
+
+class FiLM(nn.Module):
+    """Concat-conditioning FiLM: ``concat(spk, emo) → Linear → (γ, β)``.
+
+    Mirrors ``/root/reference/hifigan_modified/grc_lora.py:70-129`` (the
+    working FiLM variant).  γ is produced as ``1 + δ`` so an untrained
+    layer starts as identity.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, cond: Array) -> Array:
+        gb = nn.Dense(
+            2 * self.features,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            kernel_init=nn.initializers.normal(0.01),
+            name="proj",
+        )(cond.astype(jnp.float32))
+        gamma, beta = jnp.split(gb, 2, axis=-1)
+        return film(x, 1.0 + gamma, beta)
+
+
+class _ODAttentionHeads(nn.Module):
+    """The four ODConv attention heads over the time-pooled input.
+
+    ``AdaptiveAvgPool1d(1) → Conv1d(C, ·, 1) → softmax/sigmoid`` from the
+    reference (``odconv.py:40-63``) is exactly mean-pool → Linear."""
+
+    in_features: int
+    out_features: int
+    kernel_taps: int
+    num_kernels: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> od_ops.ODAttention:
+        pooled = jnp.mean(x.astype(jnp.float32), axis=1)  # [B, Cin]
+        dense = lambda n, name: nn.Dense(
+            n, dtype=jnp.float32, param_dtype=jnp.float32,
+            kernel_init=nn.initializers.normal(0.02), name=name,
+        )
+        return od_ops.ODAttention(
+            kernel=jax.nn.softmax(dense(self.num_kernels, "kernel_head")(pooled), axis=-1),
+            spatial=jax.nn.softmax(dense(self.kernel_taps, "spatial_head")(pooled), axis=-1),
+            in_channel=jax.nn.sigmoid(dense(self.in_features, "in_ch_head")(pooled)),
+            out_channel=jax.nn.sigmoid(dense(self.out_features, "out_ch_head")(pooled)),
+        )
+
+
+class ODConvTranspose1d(nn.Module):
+    """Omni-dimensional dynamic *transposed* conv — the upsampler.
+
+    Per-sample filters: ``W_b = (Σ_k a_bk W_k)``; spatial attention folds
+    into the taps, in-/out-channel attention into input/output activations
+    (rank-1 separability — see :mod:`hifigan_tpu.ops.odconv`)."""
+
+    in_features: int
+    out_features: int
+    kernel_size: int
+    stride: int
+    padding: int = 0
+    num_kernels: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        attn = _ODAttentionHeads(
+            self.in_features, self.out_features, self.kernel_size, self.num_kernels,
+            name="attention",
+        )(x)
+        kernels = self.param(
+            "kernels",
+            nn.initializers.normal(0.01),
+            (self.num_kernels, self.in_features, self.out_features, self.kernel_size),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.num_kernels, self.out_features), jnp.float32
+        )
+        w = od_ops.mix_kernels(kernels, attn.kernel)  # [B, Cin, Cout, k]
+        w = w * attn.spatial[:, None, None, :]
+        b = od_ops.mix_bias(bias, attn.kernel)
+        x = (x * attn.in_channel[:, None, :]).astype(self.dtype)
+        y = conv_ops.dynamic_conv_transpose1d(
+            x, w.astype(self.dtype), b, stride=self.stride, padding=self.padding
+        )
+        return (y * attn.out_channel[:, None, :]).astype(self.dtype)
+
+
+class ODConv1d(nn.Module):
+    """Omni-dimensional dynamic forward conv (reference ``odconv.py:5-108``)."""
+
+    in_features: int
+    out_features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    num_kernels: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        attn = _ODAttentionHeads(
+            self.in_features, self.out_features, self.kernel_size, self.num_kernels,
+            name="attention",
+        )(x)
+        kernels = self.param(
+            "kernels",
+            nn.initializers.normal(0.01),
+            (self.num_kernels, self.kernel_size, self.in_features, self.out_features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.num_kernels, self.out_features), jnp.float32
+        )
+        w = od_ops.mix_kernels(kernels, attn.kernel)  # [B, k, Cin, Cout]
+        w = w * attn.spatial[:, :, None, None]
+        b = od_ops.mix_bias(bias, attn.kernel)
+        x = (x * attn.in_channel[:, None, :]).astype(self.dtype)
+        y = conv_ops.dynamic_conv1d(
+            x, w.astype(self.dtype), b,
+            stride=self.stride, padding=self.padding, dilation=self.dilation,
+        )
+        return (y * attn.out_channel[:, None, :]).astype(self.dtype)
+
+
+class GRCLoRABlock(nn.Module):
+    """Grouped residual conv + shared low-rank path
+    (reference ``generator.py:109-172``): grouped dilated conv ⊕
+    α·LoRA(x) → 1×1 mixer → (+residual) → GroupNorm → LeakyReLU."""
+
+    channels: int
+    kernel_size: int = 3
+    dilation: int = 1
+    groups: int = 4
+    lora_rank: int = 8
+    leaky_slope: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c, g = self.channels, self.groups
+        residual = x
+        w = self.param(
+            "grouped_kernel", nn.initializers.normal(0.01),
+            (self.kernel_size, c // g, c), jnp.float32,
+        )
+        wb = self.param("grouped_bias", nn.initializers.zeros, (c,), jnp.float32)
+        pad = (self.kernel_size - 1) * self.dilation // 2
+        grouped = conv_ops.conv1d(
+            x, w.astype(self.dtype), wb, padding=pad, dilation=self.dilation, groups=g
+        )
+        lora_a = self.param(
+            "lora_A", nn.initializers.normal(0.02), (self.lora_rank, c // g), jnp.float32
+        )
+        lora_b = self.param("lora_B", nn.initializers.zeros, (c // g, self.lora_rank), jnp.float32)
+        alpha = self.param("lora_alpha", nn.initializers.ones, (1,), jnp.float32)
+        lora = lora_ops.grouped_lora(x, lora_a, lora_b, g)
+        combined = (grouped + alpha * lora).astype(self.dtype)
+        wm = self.param("mixer_kernel", nn.initializers.normal(0.01), (1, c, c), jnp.float32)
+        bm = self.param("mixer_bias", nn.initializers.zeros, (c,), jnp.float32)
+        mixed = conv_ops.conv1d(combined, wm.astype(self.dtype), bm, padding=0)
+        gamma = self.param("norm_gamma", nn.initializers.ones, (c,), jnp.float32)
+        beta = self.param("norm_beta", nn.initializers.zeros, (c,), jnp.float32)
+        y = lora_ops.group_norm(mixed + residual, gamma, beta, g)
+        return conv_ops.leaky_relu(y, self.leaky_slope)
+
+
+class Generator(nn.Module):
+    """The modified HiFi-GAN generator (flagship model).
+
+    ``__call__(mel [B, n_mels, T], spk [B, 192], emo [B, 256])
+    → wav [B, 1, T * 256]`` (reference API,
+    ``generator.py:263-303``)."""
+
+    config: GeneratorConfig = GeneratorConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel: Array, speaker_emb: Array, emotion_emb: Array) -> Array:
+        cfg = self.config
+        cond = jnp.concatenate(
+            [speaker_emb.astype(jnp.float32), emotion_emb.astype(jnp.float32)], axis=-1
+        )
+        x = jnp.transpose(mel, (0, 2, 1)).astype(self.dtype)  # [B, T, n_mels]
+
+        w_in = self.param(
+            "input_kernel", nn.initializers.normal(0.01),
+            (cfg.kernel_size, cfg.input_channels, cfg.hidden_channels), jnp.float32,
+        )
+        b_in = self.param("input_bias", nn.initializers.zeros, (cfg.hidden_channels,), jnp.float32)
+        x = conv_ops.conv1d(x, w_in.astype(self.dtype), b_in, padding=(cfg.kernel_size - 1) // 2)
+        x = FiLM(cfg.hidden_channels, dtype=self.dtype, name="film_0")(x, cond)
+
+        ch = cfg.hidden_channels
+        for i, f in enumerate(cfg.upsample_factors):
+            out_ch = ch // 2
+            x = ODConvTranspose1d(
+                in_features=ch,
+                out_features=out_ch,
+                kernel_size=2 * f,
+                stride=f,
+                padding=f // 2,
+                num_kernels=cfg.odconv_k,
+                dtype=self.dtype,
+                name=f"upsample_{i}",
+            )(x)
+            x = conv_ops.leaky_relu(x, cfg.leaky_slope)
+            x = FiLM(out_ch, dtype=self.dtype, name=f"film_{i + 1}")(x, cond)
+            ch = out_ch
+
+        n_up = len(cfg.upsample_factors)
+        for i, (ks, dils) in enumerate(zip(cfg.resblock_kernel_sizes, cfg.resblock_dilations)):
+            residual = x
+            # Reference zips a scalar kernel size with the dilation tuple:
+            # each MRF stack i applies len(dils) sequential GRC blocks at
+            # kernel size ks (generator.py:239-246, 290-297).
+            for j, d in enumerate(dils):
+                x = GRCLoRABlock(
+                    channels=ch,
+                    kernel_size=ks,
+                    dilation=d,
+                    groups=cfg.grc_groups,
+                    lora_rank=cfg.lora_rank,
+                    leaky_slope=cfg.leaky_slope,
+                    dtype=self.dtype,
+                    name=f"mrf_{i}_grc_{j}",
+                )(x)
+            x = x + residual
+            x = FiLM(ch, dtype=self.dtype, name=f"film_{n_up + i + 1}")(x, cond)
+
+        w_out = self.param(
+            "output_kernel", nn.initializers.normal(0.01), (7, ch, 1), jnp.float32
+        )
+        b_out = self.param("output_bias", nn.initializers.zeros, (1,), jnp.float32)
+        x = conv_ops.conv1d(x, w_out.astype(self.dtype), b_out, padding=3)
+        wav = jnp.tanh(x.astype(jnp.float32))
+        return jnp.transpose(wav, (0, 2, 1))  # [B, 1, T_samples]
+
+
+class _ResBlock1(nn.Module):
+    """HiFi-GAN V1 ResBlock (static convs, dilated + plain pairs)."""
+
+    channels: int
+    kernel_size: int
+    dilations: Tuple[int, ...]
+    leaky_slope: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c, k = self.channels, self.kernel_size
+        for j, d in enumerate(self.dilations):
+            h = conv_ops.leaky_relu(x, self.leaky_slope)
+            w1 = self.param(f"w1_{j}", nn.initializers.normal(0.01), (k, c, c), jnp.float32)
+            b1 = self.param(f"b1_{j}", nn.initializers.zeros, (c,), jnp.float32)
+            h = conv_ops.conv1d(h, w1.astype(self.dtype), b1,
+                                padding=(k - 1) * d // 2, dilation=d)
+            h = conv_ops.leaky_relu(h, self.leaky_slope)
+            w2 = self.param(f"w2_{j}", nn.initializers.normal(0.01), (k, c, c), jnp.float32)
+            b2 = self.param(f"b2_{j}", nn.initializers.zeros, (c,), jnp.float32)
+            h = conv_ops.conv1d(h, w2.astype(self.dtype), b2, padding=(k - 1) // 2)
+            x = x + h
+        return x
+
+
+class HiFiGANV1Generator(nn.Module):
+    """Plain (unconditioned) HiFi-GAN V1 generator — baseline model for
+    BASELINE.json config 1; static convs throughout."""
+
+    input_channels: int = 80
+    hidden_channels: int = 512
+    upsample_factors: Tuple[int, ...] = (8, 8, 2, 2)
+    resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
+    resblock_dilations: Tuple[Tuple[int, ...], ...] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    leaky_slope: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel: Array) -> Array:
+        x = jnp.transpose(mel, (0, 2, 1)).astype(self.dtype)
+        w_in = self.param(
+            "input_kernel", nn.initializers.normal(0.01),
+            (7, self.input_channels, self.hidden_channels), jnp.float32,
+        )
+        b_in = self.param("input_bias", nn.initializers.zeros, (self.hidden_channels,), jnp.float32)
+        x = conv_ops.conv1d(x, w_in.astype(self.dtype), b_in, padding=3)
+        ch = self.hidden_channels
+        for i, f in enumerate(self.upsample_factors):
+            out_ch = ch // 2
+            x = conv_ops.leaky_relu(x, self.leaky_slope)
+            w = self.param(
+                f"up_{i}_kernel", nn.initializers.normal(0.01),
+                (ch, out_ch, 2 * f), jnp.float32,
+            )
+            b = self.param(f"up_{i}_bias", nn.initializers.zeros, (out_ch,), jnp.float32)
+            x = conv_ops.conv_transpose1d(x, w.astype(self.dtype), b, stride=f, padding=f // 2)
+            ch = out_ch
+            acc = None
+            for k, dils in zip(self.resblock_kernel_sizes, self.resblock_dilations):
+                h = _ResBlock1(ch, k, dils, self.leaky_slope, self.dtype,
+                               name=f"res_{i}_{k}")(x)
+                acc = h if acc is None else acc + h
+            x = acc / len(self.resblock_kernel_sizes)
+        x = conv_ops.leaky_relu(x, self.leaky_slope)
+        w_out = self.param("output_kernel", nn.initializers.normal(0.01), (7, ch, 1), jnp.float32)
+        b_out = self.param("output_bias", nn.initializers.zeros, (1,), jnp.float32)
+        x = conv_ops.conv1d(x, w_out.astype(self.dtype), b_out, padding=3)
+        wav = jnp.tanh(x.astype(jnp.float32))
+        return jnp.transpose(wav, (0, 2, 1))
