@@ -1,0 +1,95 @@
+"""Benchmark harness: flagship modified HiFi-GAN generator inference RTF.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``
+
+Metric: audio-seconds generated per wall-clock second per chip at
+22.05 kHz (BASELINE.json).  Baseline (north star): ≥50× real time per
+TPU v5e chip, so ``vs_baseline = value / 50``.
+
+Extra detail (per-config results for BASELINE.json configs) goes to
+stderr so the stdout contract stays one line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+SAMPLE_RATE = 22_050
+HOP = 256
+NORTH_STAR = 50.0
+
+
+def _time_fn(fn, args, iters=16, warmup=2):
+    """Device time per call via a data-dependent on-device chain.
+
+    On this rig ``block_until_ready`` acknowledges before device
+    completion (relay), so naive wall-clocking reports dispatch
+    throughput; ``chained_time`` serialises iterations inside one
+    compiled scan and forces a host fetch (hifigan_tpu/utils/benchit.py).
+    """
+    from hifigan_tpu.utils import chained_time
+
+    return chained_time(fn, args, n=iters, perturb_arg=1)
+
+
+def bench_flagship(batch: int = 8, frames: int = 256) -> dict:
+    """ODConv + GRC-LoRA + FiLM generator, batched 22.05 kHz inference
+    (BASELINE.json config 2/3/4 shape)."""
+    from hifigan_tpu.models import Generator, GeneratorConfig
+
+    model = Generator(GeneratorConfig(), dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    mel = jax.random.normal(rng, (batch, 80, frames))
+    spk = jax.random.normal(jax.random.PRNGKey(1), (batch, 192))
+    emo = jax.random.normal(jax.random.PRNGKey(2), (batch, 256))
+    params = model.init(rng, mel, spk, emo)
+    fwd = jax.jit(model.apply)
+    dt = _time_fn(fwd, (params, mel, spk, emo))
+    audio_sec = batch * frames * HOP / SAMPLE_RATE
+    return {"rtf": audio_sec / dt, "ms_per_call": dt * 1e3, "audio_sec": audio_sec}
+
+
+def bench_hifigan_v1(batch: int = 8, frames: int = 256) -> dict:
+    """Plain HiFi-GAN V1 generator (BASELINE.json config 1)."""
+    from hifigan_tpu.models import HiFiGANV1Generator
+
+    model = HiFiGANV1Generator(dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    mel = jax.random.normal(rng, (batch, 80, frames))
+    params = model.init(rng, mel)
+    fwd = jax.jit(model.apply)
+    dt = _time_fn(fwd, (params, mel))
+    audio_sec = batch * frames * HOP / SAMPLE_RATE
+    return {"rtf": audio_sec / dt, "ms_per_call": dt * 1e3}
+
+
+def main():
+    results = {}
+    flagship = bench_flagship()
+    results["flagship_odconv_grc_film"] = flagship
+    try:
+        results["hifigan_v1"] = bench_hifigan_v1()
+    except Exception as e:  # keep the contract line even if extras fail
+        results["hifigan_v1"] = {"error": str(e)[:200]}
+    print(json.dumps({"configs": results, "device": str(jax.devices()[0])}),
+          file=sys.stderr)
+    value = round(flagship["rtf"], 1)
+    print(json.dumps({
+        "metric": "audio_sec_per_sec_per_chip_22k05_flagship_inference",
+        "value": value,
+        "unit": "x_realtime",
+        "vs_baseline": round(value / NORTH_STAR, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

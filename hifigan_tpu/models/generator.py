@@ -42,6 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from hifigan_tpu.ops import conv as conv_ops
+from hifigan_tpu.ops import fold as fold_ops
 from hifigan_tpu.ops import grc_lora as lora_ops
 from hifigan_tpu.ops import odconv as od_ops
 from hifigan_tpu.ops.film import film
@@ -87,6 +88,7 @@ class FiLM(nn.Module):
     """
 
     features: int
+    fold: int = 1  # x may be time-folded [B, T/F, F*features]
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -99,6 +101,9 @@ class FiLM(nn.Module):
             name="proj",
         )(cond.astype(jnp.float32))
         gamma, beta = jnp.split(gb, 2, axis=-1)
+        if self.fold > 1:
+            gamma = jnp.tile(gamma, (1, self.fold))
+            beta = jnp.tile(beta, (1, self.fold))
         return film(x, 1.0 + gamma, beta)
 
 
@@ -209,7 +214,14 @@ class ODConv1d(nn.Module):
 class GRCLoRABlock(nn.Module):
     """Grouped residual conv + shared low-rank path
     (reference ``generator.py:109-172``): grouped dilated conv ⊕
-    α·LoRA(x) → 1×1 mixer → (+residual) → GroupNorm → LeakyReLU."""
+    α·LoRA(x) → 1×1 mixer → (+residual) → GroupNorm → LeakyReLU.
+
+    TPU layout: with ``fold = F > 1`` the block consumes *time-folded*
+    activations ``[B, T/F, F·C]`` (see :mod:`hifigan_tpu.ops.fold`) so
+    the audio-rate layers run at full 128-lane width; parameters are
+    identical in either mode (the fold transforms are applied to the
+    kernels at trace time), so ``fold`` is a pure execution-layout
+    choice."""
 
     channels: int
     kernel_size: int = 3
@@ -217,11 +229,13 @@ class GRCLoRABlock(nn.Module):
     groups: int = 4
     lora_rank: int = 8
     leaky_slope: float = 0.1
+    fold: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        c, g = self.channels, self.groups
+        c, g, F = self.channels, self.groups, self.fold
+        x = x.astype(self.dtype)
         residual = x
         w = self.param(
             "grouped_kernel", nn.initializers.normal(0.01),
@@ -229,22 +243,54 @@ class GRCLoRABlock(nn.Module):
         )
         wb = self.param("grouped_bias", nn.initializers.zeros, (c,), jnp.float32)
         pad = (self.kernel_size - 1) * self.dilation // 2
-        grouped = conv_ops.conv1d(
-            x, w.astype(self.dtype), wb, padding=pad, dilation=self.dilation, groups=g
-        )
+        # grouped conv as a dense block-diagonal kernel (the grouped-conv
+        # HLO with C=32 tiles at ~3% of roofline)
+        w_dense = lora_ops.blockdiag_conv_kernel(w, g)
         lora_a = self.param(
             "lora_A", nn.initializers.normal(0.02), (self.lora_rank, c // g), jnp.float32
         )
         lora_b = self.param("lora_B", nn.initializers.zeros, (c // g, self.lora_rank), jnp.float32)
         alpha = self.param("lora_alpha", nn.initializers.ones, (1,), jnp.float32)
-        lora = lora_ops.grouped_lora(x, lora_a, lora_b, g)
-        combined = (grouped + alpha * lora).astype(self.dtype)
+        w_lora = lora_ops.lora_block_matrix(lora_a, lora_b, g)  # [C, C]
         wm = self.param("mixer_kernel", nn.initializers.normal(0.01), (1, c, c), jnp.float32)
         bm = self.param("mixer_bias", nn.initializers.zeros, (c,), jnp.float32)
-        mixed = conv_ops.conv1d(combined, wm.astype(self.dtype), bm, padding=0)
         gamma = self.param("norm_gamma", nn.initializers.ones, (c,), jnp.float32)
         beta = self.param("norm_beta", nn.initializers.zeros, (c,), jnp.float32)
-        y = lora_ops.group_norm(mixed + residual, gamma, beta, g)
+
+        if F > 1:
+            wf, lo, hi = fold_ops.fold_conv_kernel(
+                w_dense, F, padding=pad, dilation=self.dilation
+            )
+            grouped = conv_ops.conv1d(
+                x, wf.astype(self.dtype), fold_ops.fold_channel_vector(wb, F),
+                padding=(lo, hi),
+            )
+            w_lora_f = fold_ops.fold_blockdiag(w_lora, F)
+            lora = jnp.einsum(
+                "btc,cd->btd", x, w_lora_f.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)
+            combined = (grouped + alpha * lora).astype(self.dtype)
+            wm_f = fold_ops.fold_blockdiag(wm[0], F)
+            mixed = jnp.einsum(
+                "btc,cd->btd", combined, wm_f.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype) + fold_ops.fold_channel_vector(bm, F).astype(self.dtype)
+            y = fold_ops.folded_group_norm(mixed + residual, gamma, beta, g, c, F)
+        else:
+            grouped = conv_ops.conv1d_via_matmul(
+                x, w_dense.astype(self.dtype), wb, padding=pad, dilation=self.dilation
+            )
+            lora = jnp.einsum(
+                "btc,cd->btd", x, w_lora.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)
+            combined = (grouped + alpha * lora).astype(self.dtype)
+            mixed = jnp.einsum(
+                "btc,cd->btd", combined, wm[0].astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype) + bm.astype(self.dtype)
+            y = lora_ops.group_norm(mixed + residual, gamma, beta, g)
         return conv_ops.leaky_relu(y, self.leaky_slope)
 
 
@@ -291,6 +337,15 @@ class Generator(nn.Module):
             x = FiLM(out_ch, dtype=self.dtype, name=f"film_{i + 1}")(x, cond)
             ch = out_ch
 
+        # --- audio-rate section runs time-folded so the 32-channel MRF
+        # layers use the full 128-lane width (ops/fold.py; ~10x faster) ---
+        T_audio = x.shape[1]
+        fold = 1
+        cand = max(1, 128 // ch)
+        if cand > 1 and T_audio % cand == 0:
+            fold = cand
+            x = fold_ops.fold_time(x, fold)
+
         n_up = len(cfg.upsample_factors)
         for i, (ks, dils) in enumerate(zip(cfg.resblock_kernel_sizes, cfg.resblock_dilations)):
             residual = x
@@ -305,17 +360,26 @@ class Generator(nn.Module):
                     groups=cfg.grc_groups,
                     lora_rank=cfg.lora_rank,
                     leaky_slope=cfg.leaky_slope,
+                    fold=fold,
                     dtype=self.dtype,
                     name=f"mrf_{i}_grc_{j}",
                 )(x)
             x = x + residual
-            x = FiLM(ch, dtype=self.dtype, name=f"film_{n_up + i + 1}")(x, cond)
+            x = FiLM(ch, fold=fold, dtype=self.dtype, name=f"film_{n_up + i + 1}")(x, cond)
 
         w_out = self.param(
             "output_kernel", nn.initializers.normal(0.01), (7, ch, 1), jnp.float32
         )
         b_out = self.param("output_bias", nn.initializers.zeros, (1,), jnp.float32)
-        x = conv_ops.conv1d(x, w_out.astype(self.dtype), b_out, padding=3)
+        if fold > 1:
+            wf, lo, hi = fold_ops.fold_conv_kernel(w_out, fold, padding=3)
+            x = conv_ops.conv1d(
+                x, wf.astype(self.dtype),
+                fold_ops.fold_channel_vector(b_out, fold), padding=(lo, hi),
+            )
+            x = fold_ops.unfold_time(x, fold)  # [B, T, 1]
+        else:
+            x = conv_ops.conv1d(x, w_out.astype(self.dtype), b_out, padding=3)
         wav = jnp.tanh(x.astype(jnp.float32))
         return jnp.transpose(wav, (0, 2, 1))  # [B, 1, T_samples]
 

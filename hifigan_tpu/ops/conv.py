@@ -67,12 +67,14 @@ def conv1d(
       x: ``[B, T, Cin]``.
       w: ``[k, Cin // groups, Cout]``.
       b: optional ``[Cout]``.
-      padding: int (symmetric) or "SAME"/"VALID".
+      padding: int (symmetric), (lo, hi) tuple, or "SAME"/"VALID".
     Returns:
       ``[B, T_out, Cout]``.
     """
     if isinstance(padding, int):
         pad: Sequence[tuple[int, int]] | str = [(padding, padding)]
+    elif isinstance(padding, tuple):
+        pad = [padding]
     else:
         pad = padding
     y = lax.conv_general_dilated(
@@ -251,6 +253,31 @@ def dynamic_conv_transpose1d(
     """
     z = jnp.einsum("bti,biok->btok", x, w, preferred_element_type=jnp.float32)
     return _overlap_add(z, stride, padding, b, x.dtype)
+
+
+def conv1d_via_matmul(
+    x: Array,
+    w: Array,
+    b: Array | None = None,
+    *,
+    padding: int = 0,
+    dilation: int = 1,
+) -> Array:
+    """Static-weight 1-D conv expressed as an im2col matmul.
+
+    For audio-rate layers with few channels (C ≪ 128 lanes) the conv HLO
+    tiles poorly; contracting over ``k·C`` (≥ 96) instead keeps the MXU
+    busy.  Args: x ``[B, T, Cin]``, w ``[k, Cin, Cout]``.
+    """
+    k = w.shape[0]
+    patches = extract_patches_1d(x, k, stride=1, padding=padding, dilation=dilation)
+    y = jnp.einsum(
+        "btki,kio->bto", patches, w.astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        y = y + b
+    return y.astype(x.dtype)
 
 
 def avg_pool1d(x: Array, window: int, stride: int | None = None) -> Array:

@@ -1,0 +1,116 @@
+"""Train state: a single pytree bundling generator-side and
+discriminator-side parameters and both optimizer states (the reference
+keeps two ``torch.optim`` optimizers —
+``/root/reference/hifigan_modified/complete_vocoder.py:186-233`` — and
+checkpoints all of it together, ``:235-248``).
+
+Optimizer defaults follow ``/root/reference/configs/train_config.yaml``
+(training block): Adam(β1=0.8, β2=0.99), lr 2e-4, cosine decay with
+2000-step warmup.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from hifigan_tpu.models.discriminators import Discriminators
+from hifigan_tpu.models.generator import GeneratorConfig
+from hifigan_tpu.models.vocoder import ModifiedVocoder
+from hifigan_tpu.ops.stft import MelConfig
+from hifigan_tpu.train.losses import LossWeights
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training hyper-parameters (defaults per
+    ``/root/reference/configs/train_config.yaml`` training block)."""
+
+    learning_rate: float = 2e-4
+    beta1: float = 0.8
+    beta2: float = 0.99
+    warmup_steps: int = 2000
+    decay_steps: int = 1_000_000
+    weight_decay: float = 0.0
+    grad_clip: float = 0.0  # 0 = off
+    loss_weights: LossWeights = LossWeights()
+    mel: MelConfig = MelConfig()
+    generator: GeneratorConfig = GeneratorConfig()
+    precompute_embeddings: bool = False  # True: step expects spk/emo in batch
+    # embedding-extractor sizes (reference defaults: ECAPA 512ch,
+    # Emotion2Vec d=512 x 6 layers — embedding_extractors.py:13-256)
+    ecapa_channels: int = 512
+    emo_hidden: int = 512
+    emo_layers: int = 6
+    emo_heads: int = 8
+
+
+class GanTrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    gen_params: Any
+    disc_params: Any
+    gen_opt_state: Any
+    disc_opt_state: Any
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=cfg.learning_rate,
+        warmup_steps=cfg.warmup_steps,
+        decay_steps=cfg.decay_steps,
+        end_value=cfg.learning_rate * 0.01,
+    )
+    parts = []
+    if cfg.grad_clip > 0:
+        parts.append(optax.clip_by_global_norm(cfg.grad_clip))
+    if cfg.weight_decay > 0:
+        parts.append(optax.adamw(schedule, b1=cfg.beta1, b2=cfg.beta2,
+                                 weight_decay=cfg.weight_decay))
+    else:
+        parts.append(optax.adam(schedule, b1=cfg.beta1, b2=cfg.beta2))
+    return optax.chain(*parts)
+
+
+def create_train_state(
+    rng: jax.Array,
+    cfg: TrainConfig,
+    *,
+    dtype=jnp.float32,
+    mel_frames: int = 32,
+    batch_size: int = 2,
+) -> tuple[GanTrainState, ModifiedVocoder, Discriminators]:
+    """Initialise models + optimizers. Returns (state, vocoder, discriminators)."""
+    vocoder = ModifiedVocoder(
+        cfg.generator,
+        ecapa_channels=cfg.ecapa_channels,
+        emo_hidden=cfg.emo_hidden,
+        emo_layers=cfg.emo_layers,
+        emo_heads=cfg.emo_heads,
+        dtype=dtype,
+    )
+    discs = Discriminators(dtype=dtype)
+    g_rng, d_rng = jax.random.split(rng)
+    mel = jnp.zeros((batch_size, cfg.generator.input_channels, mel_frames))
+    if cfg.precompute_embeddings:
+        spk = jnp.zeros((batch_size, cfg.generator.speaker_dim))
+        emo = jnp.zeros((batch_size, cfg.generator.emotion_dim))
+        gen_params = vocoder.init(g_rng, mel, spk, emo)
+    else:
+        gen_params = vocoder.init(g_rng, mel)
+    wav = jnp.zeros((batch_size, 1, mel_frames * cfg.generator.upsample_ratio))
+    disc_params = discs.init(d_rng, wav)
+    tx = make_optimizer(cfg)
+    state = GanTrainState(
+        step=jnp.zeros((), jnp.int32),
+        gen_params=gen_params,
+        disc_params=disc_params,
+        gen_opt_state=tx.init(gen_params),
+        disc_opt_state=tx.init(disc_params),
+    )
+    return state, vocoder, discs
