@@ -1,0 +1,200 @@
+"""Batch and streaming evaluators + PASS/FAIL report generation.
+
+Capability parity with
+``/root/reference/evaluation/evaluation_framework.py:148-387``:
+
+* ``StreamEvaluator`` — per-sample end-to-end eval (run system, compute
+  speaker/emotion SIM and optional ASR-BLEU, ``:159-207``), batch loop
+  (``:209-249``) and mean/std/min/max statistics (``:251-272``);
+* ``RealTimeEvaluator`` — per-chunk streaming eval recording wall-clock
+  processing time (``:274-341``; the reference's ``self.metrics`` is
+  referenced-but-never-initialised at ``:335`` — fixed here);
+* ``create_evaluation_report`` — JSON report scored against the
+  literature benchmarks hard-coded by the reference (``:343-387``):
+  SIM 0.73 (Wang et al., 2023) threshold 0.70; ASR-BLEU 27.25
+  (Zhang et al., 2024) threshold 20.0; emotion-SIM threshold 0.70.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from hifigan_tpu.eval.metrics import (
+    average_lagging,
+    cosine_similarity,
+    real_time_factor,
+)
+
+# Literature benchmarks (reference evaluation_framework.py:363-379)
+BENCHMARKS = {
+    "speaker_similarity": {
+        "benchmark": 0.73,
+        "benchmark_source": "Wang et al. (2023)",
+        "threshold": 0.70,
+    },
+    "emotion_similarity": {
+        "benchmark": None,
+        "benchmark_source": None,
+        "threshold": 0.70,
+    },
+    "asr_bleu": {
+        "benchmark": 27.25,
+        "benchmark_source": "Zhang et al. (2024)",
+        "threshold": 20.0,
+    },
+}
+
+
+def _stats(values: Sequence[float]) -> Dict[str, float]:
+    v = np.asarray([x for x in values if x is not None], dtype=np.float64)
+    if v.size == 0:
+        return {"mean": float("nan"), "std": float("nan"),
+                "min": float("nan"), "max": float("nan"), "count": 0}
+    return {
+        "mean": float(v.mean()), "std": float(v.std()),
+        "min": float(v.min()), "max": float(v.max()), "count": int(v.size),
+    }
+
+
+class StreamEvaluator:
+    """End-to-end evaluator over (mel, reference text) samples.
+
+    Args:
+      synthesize_fn: jitted ``mel [1,80,T] → wav [1,1,T·256]``.
+      speaker_embed_fn / emotion_embed_fn: jitted ``mel → [1, D]``.
+      mel_fn: ``wav [1, T] → mel [1, 80, T']`` (to re-embed generated audio).
+      transcribe_fn: optional host ASR for ASR-BLEU.
+    """
+
+    def __init__(
+        self,
+        synthesize_fn: Callable,
+        speaker_embed_fn: Callable,
+        emotion_embed_fn: Callable,
+        mel_fn: Callable,
+        transcribe_fn: Optional[Callable] = None,
+    ):
+        self.synthesize_fn = synthesize_fn
+        self.speaker_embed_fn = speaker_embed_fn
+        self.emotion_embed_fn = emotion_embed_fn
+        self.mel_fn = mel_fn
+        self.transcribe_fn = transcribe_fn
+
+    def evaluate_single_sample(self, mel, reference_text: Optional[str] = None) -> dict:
+        t0 = time.perf_counter()
+        wav = self.synthesize_fn(mel)
+        wav_np = np.asarray(wav)
+        wall = time.perf_counter() - t0
+        gen_mel = self.mel_fn(wav[:, 0, :])
+        spk_sim = float(cosine_similarity(
+            self.speaker_embed_fn(mel), self.speaker_embed_fn(gen_mel)
+        )[0])
+        emo_sim = float(cosine_similarity(
+            self.emotion_embed_fn(mel), self.emotion_embed_fn(gen_mel)
+        )[0])
+        result = {
+            "speaker_similarity": spk_sim,
+            "emotion_similarity": emo_sim,
+            "processing_time": wall,
+            "rtf": real_time_factor(wav_np.shape[-1] / 16_000, wall),
+        }
+        if self.transcribe_fn is not None and reference_text is not None:
+            from hifigan_tpu.eval.metrics import asr_bleu
+
+            result["asr_bleu"] = asr_bleu(
+                self.transcribe_fn, [wav_np[0, 0]], [reference_text]
+            )
+        return result
+
+    def evaluate_batch(self, samples: Sequence[dict]) -> List[dict]:
+        return [
+            self.evaluate_single_sample(s["mel"], s.get("reference_text"))
+            for s in samples
+        ]
+
+    def compute_statistics(self, results: Sequence[dict]) -> Dict[str, dict]:
+        keys = set().union(*(r.keys() for r in results)) if results else set()
+        return {k: _stats([r.get(k) for r in results]) for k in sorted(keys)}
+
+
+class RealTimeEvaluator:
+    """Streaming evaluator: feed chunks, record per-chunk wall time and
+    source/emission timestamps, then summarise latency + AL."""
+
+    def __init__(self, streaming_fn: Callable, chunk_duration_s: float):
+        self.streaming_fn = streaming_fn
+        self.chunk_duration_s = chunk_duration_s
+        self.records: List[dict] = []
+        self._elapsed_source = 0.0
+
+    def process_chunk(self, chunk, **kwargs) -> dict:
+        t0 = time.perf_counter()
+        out = self.streaming_fn(chunk, **kwargs)
+        # force materialisation so the wall clock covers device work
+        _ = [np.asarray(v) for v in out.values() if hasattr(v, "shape")]
+        wall = time.perf_counter() - t0
+        self._elapsed_source += self.chunk_duration_s
+        rec = {
+            "source_time": self._elapsed_source,
+            "processing_time": wall,
+            "emit_time": self._elapsed_source + wall,
+        }
+        self.records.append(rec)
+        return {**out, **rec}
+
+    def compute_streaming_metrics(self) -> dict:
+        if not self.records:
+            return {"avg_processing_time": 0.0, "average_lagging": 0.0, "chunks": 0}
+        proc = [r["processing_time"] for r in self.records]
+        al = average_lagging(
+            [r["source_time"] for r in self.records],
+            [r["emit_time"] for r in self.records],
+        )
+        return {
+            "avg_processing_time": float(np.mean(proc)),
+            "max_processing_time": float(np.max(proc)),
+            "average_lagging": al,
+            "real_time_factor": real_time_factor(
+                self.chunk_duration_s * len(proc), float(np.sum(proc))
+            ),
+            "chunks": len(proc),
+        }
+
+    def reset(self):
+        self.records.clear()
+        self._elapsed_source = 0.0
+
+
+def create_evaluation_report(
+    results: Sequence[dict],
+    output_path: Optional[str] = None,
+    extra: Optional[dict] = None,
+) -> dict:
+    """JSON report with raw results, statistics, and PASS/FAIL status vs
+    the literature benchmarks (reference ``:343-387``)."""
+    stats = StreamEvaluator.compute_statistics(None, results)  # type: ignore[arg-type]
+    benchmarks = {}
+    for metric, spec in BENCHMARKS.items():
+        mean = stats.get(metric, {}).get("mean")
+        passed = mean is not None and not np.isnan(mean) and mean >= spec["threshold"]
+        benchmarks[metric] = {
+            **spec,
+            "achieved": None if mean is None or np.isnan(mean) else mean,
+            "status": "PASS" if passed else "FAIL",
+        }
+    report = {
+        "num_samples": len(results),
+        "raw_results": list(results),
+        "statistics": stats,
+        "benchmarks": benchmarks,
+        **(extra or {}),
+    }
+    if output_path:
+        with open(output_path, "w") as f:
+            json.dump(report, f, indent=2, default=float)
+    return report

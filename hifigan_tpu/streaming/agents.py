@@ -1,0 +1,263 @@
+"""Streaming agents: simultaneous S2ST / S2TT / ASR with StreamSpeech
+(CTC-progress) and wait-k policies.
+
+Capability parity with the reference agent suite
+(``/root/reference/agent/``, SURVEY.md §2.5):
+
+* :class:`S2STAgent`      — ``speech_to_speech.streamspeech.agent.py:101-770``
+* :class:`S2TTAgent`      — ``speech_to_text.s2tt.streamspeech.agent.py:101-545``
+* :class:`ASRAgent`       — ``speech_to_text.asr.streamspeech.agent.py:103-433``
+  (emits the text *delta* beyond what was already committed)
+* :class:`WaitkS2STAgent` / :class:`WaitkS2TTAgent` —
+  ``speech_to_speech.wait-k-stride-n.agent.py`` (arithmetic budgets)
+
+Each ``policy()`` call re-encodes the full received prefix (the
+reference's semantics — only *emission* is incremental) through the
+bucketed jitted programs of :class:`~hifigan_tpu.streaming.runtime.S2STInference`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from hifigan_tpu.streaming.decode import trim_to_whole_words
+from hifigan_tpu.streaming.features import FbankConfig, OnlineFbank
+from hifigan_tpu.streaming.harness import (
+    AgentStates,
+    ReadAction,
+    SpeechSegment,
+    TextSegment,
+    WriteAction,
+)
+from hifigan_tpu.streaming.policy import StreamSpeechPolicy, WaitKPolicy
+from hifigan_tpu.streaming.runtime import S2STInference
+
+
+def default_detokenizer(ids: List[int]) -> str:
+    """Fallback id→text mapping when no tokenizer is provided."""
+    return " ".join(f"<{i}>" for i in ids)
+
+
+class _AgentBase:
+    def __init__(
+        self,
+        inference: S2STInference,
+        *,
+        fbank: Optional[FbankConfig] = None,
+        detokenize: Callable[[List[int]], str] = default_detokenizer,
+    ):
+        self.inf = inference
+        self.fbank_cfg = fbank or FbankConfig()
+        self.detokenize = detokenize
+        self.reset()
+
+    def reset(self):
+        self.extractor = OnlineFbank(self.fbank_cfg)
+        self._consumed_samples = 0
+        self.committed_text_ids: List[int] = []
+        self.emitted_units: List[int] = []
+        self.finished = False
+
+    def _ingest(self, states: AgentStates):
+        new = states.source_samples[self._consumed_samples :]
+        if len(new):
+            self.extractor.push(new)
+            self._consumed_samples = len(states.source_samples)
+
+    def _encode(self, states: AgentStates):
+        self._ingest(states)
+        frames = self.extractor.frames()
+        if frames.shape[0] == 0:
+            return None
+        return self.inf.encode_prefix(frames)
+
+
+class ASRAgent(_AgentBase):
+    """Streaming ASR: emit the source-CTC text delta
+    (reference asr agent ``policy`` :385-433)."""
+
+    def __init__(self, inference, *, min_new_tokens: int = 1, **kw):
+        super().__init__(inference, **kw)
+        self.min_new_tokens = min_new_tokens
+
+    def reset(self):
+        super().reset()
+        self.committed_src: List[int] = []
+
+    def policy(self, states: AgentStates):
+        enc = self._encode(states)
+        if enc is None:
+            return ReadAction()
+        new = enc["src_tokens"][len(self.committed_src) :]
+        if len(new) < self.min_new_tokens and not states.source_finished:
+            return ReadAction()
+        if not new and states.source_finished:
+            self.finished = True
+            return WriteAction(TextSegment("", finished=True), finished=True)
+        self.committed_src.extend(new)
+        return WriteAction(
+            TextSegment(self.detokenize(new), finished=states.source_finished),
+            finished=states.source_finished and not new,
+        )
+
+
+class S2TTAgent(_AgentBase):
+    """Simultaneous speech-to-text translation with the CTC-progress gate
+    (reference s2tt agent ``policy`` :381-545)."""
+
+    def __init__(self, inference, *, stride_n: int = 1, whole_words: bool = False, **kw):
+        super().__init__(inference, **kw)
+        self.gate = StreamSpeechPolicy(stride_n=stride_n)
+        self.whole_words = whole_words
+
+    def reset(self):
+        super().reset()
+        if hasattr(self, "gate"):
+            self.gate.reset()
+
+    def policy(self, states: AgentStates):
+        enc = self._encode(states)
+        if enc is None:
+            return ReadAction()
+        n_src, n_tgt = len(enc["src_tokens"]), len(enc["tgt_tokens"])
+        if not self.gate.should_write(n_src, n_tgt, source_finished=states.source_finished):
+            return ReadAction()
+        max_new = 1 << 30 if states.source_finished else self.inf.cfg.max_new_tokens
+        new_ids = self.inf.continue_text(
+            enc["enc"], self.committed_text_ids,
+            max_new_tokens=min(max_new, self.inf.cfg.max_new_tokens),
+        )
+        hit_eos = bool(new_ids) and new_ids[-1] == self.inf.cfg.eos_id
+        if hit_eos:
+            new_ids = new_ids[:-1]
+        if not new_ids:
+            if states.source_finished:
+                self.finished = True
+                return WriteAction(TextSegment("", finished=True), finished=True)
+            return ReadAction()
+        self.committed_text_ids.extend(new_ids)
+        self.gate.committed(n_src, n_tgt)
+        done = states.source_finished and hit_eos
+        self.finished = done
+        return WriteAction(
+            TextSegment(self.detokenize(new_ids), finished=done), finished=done
+        )
+
+
+class S2STAgent(S2TTAgent):
+    """Simultaneous S2ST: S2TT gating + T2U unit continuation + unit
+    vocoder with duration-aligned tail emission (reference s2st agent
+    ``policy`` :422-770)."""
+
+    def policy(self, states: AgentStates):
+        enc = self._encode(states)
+        if enc is None:
+            return ReadAction()
+        n_src, n_tgt = len(enc["src_tokens"]), len(enc["tgt_tokens"])
+        if not self.gate.should_write(n_src, n_tgt, source_finished=states.source_finished):
+            return ReadAction()
+        new_units, _total = self.inf.units_from_prefix(
+            enc["unit_argmax"], len(self.emitted_units)
+        )
+        if not new_units:
+            if states.source_finished:
+                self.finished = True
+                return WriteAction(
+                    SpeechSegment(np.zeros(0, np.float32), finished=True), finished=True
+                )
+            return ReadAction()
+        self.emitted_units.extend(new_units)
+        self.gate.committed(n_src, n_tgt)
+        tail = self.inf.synthesize_tail(self.emitted_units, len(new_units))
+        done = bool(states.source_finished)
+        self.finished = done
+        return WriteAction(SpeechSegment(tail, finished=done), finished=done)
+
+
+class WaitkS2TTAgent(_AgentBase):
+    """Wait-k text agent: arithmetic subword budget
+    (reference wait-k agent :377-405)."""
+
+    def __init__(self, inference, *, k1: int = 3, n1: int = 1,
+                 segment_size_ms: int = 320, **kw):
+        super().__init__(inference, **kw)
+        self.sched = WaitKPolicy(k1=k1, n1=n1)
+        self.segment_size_ms = segment_size_ms
+
+    def policy(self, states: AgentStates):
+        enc = self._encode(states)
+        if enc is None:
+            return ReadAction()
+        segments = int(states.source_seconds * 1000 / self.segment_size_ms)
+        budget = self.sched.subword_budget(segments, source_finished=states.source_finished)
+        allowed = budget - len(self.committed_text_ids)
+        if allowed <= 0:
+            if states.source_finished:
+                self.finished = True
+                return WriteAction(TextSegment("", finished=True), finished=True)
+            return ReadAction()
+        new_ids = self.inf.continue_text(
+            enc["enc"], self.committed_text_ids,
+            max_new_tokens=min(allowed, self.inf.cfg.max_new_tokens),
+        )
+        hit_eos = bool(new_ids) and new_ids[-1] == self.inf.cfg.eos_id
+        if hit_eos:
+            new_ids = new_ids[:-1]
+        if not new_ids:
+            if states.source_finished:
+                self.finished = True
+                return WriteAction(TextSegment("", finished=True), finished=True)
+            return ReadAction()
+        self.committed_text_ids.extend(new_ids)
+        done = states.source_finished and hit_eos
+        self.finished = done
+        return WriteAction(TextSegment(self.detokenize(new_ids), finished=done), finished=done)
+
+
+class WaitkS2STAgent(WaitkS2TTAgent):
+    """Wait-k S2ST: unit budget ((subwords − k2)//n2)·n2·unit_per_subword
+    then the same unit-vocoder tail emission."""
+
+    def __init__(self, inference, *, k2: int = 1, n2: int = 1,
+                 unit_per_subword: int = 10, **kw):
+        super().__init__(inference, **kw)
+        self.sched.k2 = k2
+        self.sched.n2 = n2
+        self.sched.unit_per_subword = unit_per_subword
+
+    def policy(self, states: AgentStates):
+        enc = self._encode(states)
+        if enc is None:
+            return ReadAction()
+        segments = int(states.source_seconds * 1000 / self.segment_size_ms)
+        sub_budget = self.sched.subword_budget(segments, source_finished=states.source_finished)
+        unit_budget = self.sched.unit_budget(
+            min(sub_budget, len(enc["tgt_tokens"])), source_finished=states.source_finished
+        )
+        allowed_units = unit_budget - len(self.emitted_units)
+        if allowed_units <= 0:
+            if states.source_finished:
+                self.finished = True
+                return WriteAction(
+                    SpeechSegment(np.zeros(0, np.float32), finished=True), finished=True
+                )
+            return ReadAction()
+        new_units, _ = self.inf.units_from_prefix(
+            enc["unit_argmax"], len(self.emitted_units)
+        )
+        new_units = new_units[:allowed_units]
+        if not new_units:
+            if states.source_finished:
+                self.finished = True
+                return WriteAction(
+                    SpeechSegment(np.zeros(0, np.float32), finished=True), finished=True
+                )
+            return ReadAction()
+        self.emitted_units.extend(new_units)
+        tail = self.inf.synthesize_tail(self.emitted_units, len(new_units))
+        done = bool(states.source_finished)
+        self.finished = done
+        return WriteAction(SpeechSegment(tail, finished=done), finished=done)

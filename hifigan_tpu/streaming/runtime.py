@@ -1,0 +1,199 @@
+"""Incremental S2ST inference runtime.
+
+The device-side counterpart of the reference agent's per-step pipeline
+(``/root/reference/agent/speech_to_speech.streamspeech.agent.py:422-770``):
+
+    fbank(prefix) → chunked encoder → {source CTC, target CTC} argmax
+    → policy gate → bounded greedy continuation of the text decoder
+    → T2U unit CTC with unit-prefix continuation → unit vocoder
+    → emit only the new duration-aligned waveform tail.
+
+TPU execution model: every device program has **static shapes** —
+source frames are padded to chunk-aligned buckets (valid because the
+chunked-causal encoder never lets padding influence earlier frames),
+the text decoder runs on a fixed ``max_target_len`` token buffer with a
+causal mask, and the unit vocoder expands durations to a static maximum
+(:func:`hifigan_tpu.models.code_vocoder.expand_by_durations`).  A whole
+streaming session therefore reuses a handful of compiled programs
+instead of recompiling per prefix length (the reference recompiles
+nothing but re-runs the full prefix each step — we keep that simple
+recompute semantics, just bucketed).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hifigan_tpu.models.code_vocoder import CodeVocoder
+from hifigan_tpu.models.streamspeech import StreamSpeechS2ST
+from hifigan_tpu.streaming.decode import ctc_greedy_collapse, ctc_prefix_frames
+from hifigan_tpu.streaming.features import FbankConfig, OnlineFbank
+
+Array = jax.Array
+
+
+def _bucket(n: int, align: int, buckets: Sequence[int]) -> int:
+    n = ((n + align - 1) // align) * align
+    for b in buckets:
+        if b >= n:
+            return b
+    return n
+
+
+@dataclass
+class S2STInferenceConfig:
+    source_buckets: tuple = (32, 64, 128, 256, 512, 1024)
+    max_target_len: int = 128
+    max_new_tokens: int = 8
+    bos_id: int = 1
+    eos_id: int = 2
+    ctc_blank: int = 0
+
+
+class S2STInference:
+    """Jitted sub-programs over a StreamSpeechS2ST + CodeVocoder pair."""
+
+    def __init__(
+        self,
+        model: StreamSpeechS2ST,
+        params,
+        code_vocoder: Optional[CodeVocoder] = None,
+        code_params=None,
+        cfg: S2STInferenceConfig = S2STInferenceConfig(),
+    ):
+        self.model = model
+        self.params = params
+        self.code_vocoder = code_vocoder
+        self.code_params = code_params
+        self.cfg = cfg
+        self.chunk = model.config.chunk_size
+
+        @jax.jit
+        def _encode(params, mel):
+            """mel [1, T_bucket, n_mels] → (enc, src_ids, tgt_ids, unit_ids)."""
+            enc = model.apply(params, mel, chunked=True,
+                              method=lambda m, x, chunked: m.encoder(x, chunked=chunked))
+            src = model.apply(params, enc, method=lambda m, e: m.source_ctc(e))
+            tgt = model.apply(params, enc, method=lambda m, e: m.target_ctc(e))
+            units = model.apply(params, enc, method=lambda m, e: m.t2u_encoder(e))
+            return (
+                enc,
+                jnp.argmax(src, axis=-1),
+                jnp.argmax(tgt, axis=-1),
+                jnp.argmax(units, axis=-1),
+            )
+
+        self._encode = _encode
+
+        @jax.jit
+        def _decode_step(params, enc, tokens):
+            """Full causal re-decode over the fixed token buffer; returns
+            per-position argmax (host picks position cur_len-1)."""
+            logits = model.apply(
+                params, enc, tokens,
+                method=lambda m, e, t: m.text_decoder(e, t),
+            )
+            return jnp.argmax(logits, axis=-1)
+
+        self._decode_step = _decode_step
+
+        if code_vocoder is not None:
+
+            @jax.jit
+            def _synth(code_params, units):
+                return code_vocoder.apply(code_params, units)
+
+            self._synth = _synth
+
+    # ---- encoder over the current source prefix (bucketed) ----
+
+    def encode_prefix(self, mel_frames: np.ndarray):
+        """mel_frames [T, n_mels] → dict with prefix-sliced CTC streams."""
+        T = mel_frames.shape[0]
+        if T == 0:
+            return None
+        bucket = _bucket(T, self.chunk, self.cfg.source_buckets)
+        mel = np.zeros((1, bucket, mel_frames.shape[1]), np.float32)
+        mel[0, :T] = mel_frames
+        enc, src_ids, tgt_ids, unit_ids = self._encode(self.params, jnp.asarray(mel))
+        src_tokens, src_frames = ctc_greedy_collapse(
+            np.asarray(src_ids)[0, :T], self.cfg.ctc_blank
+        )
+        tgt_tokens, tgt_frames = ctc_greedy_collapse(
+            np.asarray(tgt_ids)[0, :T], self.cfg.ctc_blank
+        )
+        return {
+            "enc": enc,
+            "valid_frames": T,
+            "src_tokens": src_tokens,
+            "src_token_frames": src_frames,
+            "tgt_tokens": tgt_tokens,
+            "tgt_token_frames": tgt_frames,
+            "unit_argmax": np.asarray(unit_ids)[0, : T * 8],  # 8x T2U upsampling
+        }
+
+    # ---- bounded greedy continuation of the text decoder ----
+
+    def continue_text(
+        self, enc: Array, prefix_ids: List[int], max_new_tokens: Optional[int] = None
+    ) -> List[int]:
+        """Greedy-decode up to ``max_new_tokens`` continuation tokens
+        (reference ``generate_decoder(..., max_new_tokens)``,
+        agent/sequence_generator.py:165-180)."""
+        cfg = self.cfg
+        max_new = max_new_tokens or cfg.max_new_tokens
+        tokens = np.zeros((1, cfg.max_target_len), np.int32)
+        seq = [cfg.bos_id] + list(prefix_ids)
+        n = min(len(seq), cfg.max_target_len)
+        tokens[0, :n] = seq[:n]
+        new: List[int] = []
+        for _ in range(max_new):
+            if n >= cfg.max_target_len:
+                break
+            preds = np.asarray(self._decode_step(self.params, enc, jnp.asarray(tokens)))
+            nxt = int(preds[0, n - 1])
+            if nxt == cfg.eos_id:
+                new.append(nxt)
+                break
+            tokens[0, n] = nxt
+            seq.append(nxt)
+            new.append(nxt)
+            n += 1
+        return new
+
+    # ---- units + waveform tail ----
+
+    def units_from_prefix(self, unit_argmax: np.ndarray, emitted_units: int):
+        """Unit CTC prefix continuation (reference ctc_generator.py:103-107)."""
+        new_units, total = ctc_prefix_frames(unit_argmax, emitted_units, self.cfg.ctc_blank)
+        return new_units, total
+
+    def synthesize_tail(self, all_units: List[int], n_new_units: int) -> np.ndarray:
+        """Vocode the full unit prefix, return only the new
+        duration-aligned tail (reference ``dur[-len(cur_unit):].sum()·320``
+        rule, agent.py:743-770)."""
+        assert self.code_vocoder is not None, "no CodeVocoder attached"
+        if not all_units or n_new_units == 0:
+            return np.zeros(0, np.float32)
+        U = len(all_units)
+        u_bucket = _bucket(U, 8, (8, 16, 32, 64, 128, 256, 512))
+        units = np.zeros((1, u_bucket), np.int32)
+        units[0, :U] = all_units
+        wav, dur, n_samples = self._synth(self.code_params, jnp.asarray(units))
+        dur = np.asarray(dur)[0]
+        total = int(np.asarray(n_samples)[0])
+        ratio = 1
+        for f in self.code_vocoder.config.upsample_factors:
+            ratio *= f
+        # padded bucket units have predicted durations too; only count real ones
+        pad_samples = int(dur[U:u_bucket].sum()) * ratio
+        total_real = total - pad_samples
+        n_new = int(dur[U - n_new_units : U].sum()) * ratio
+        wav = np.asarray(wav)[0, 0]
+        return wav[max(0, total_real - n_new) : total_real]

@@ -1,0 +1,103 @@
+"""Evaluation metric tests (cosine/AL/BLEU/report)."""
+
+import json
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hifigan_tpu.eval.metrics import (
+    average_lagging,
+    corpus_bleu,
+    cosine_similarity,
+    mcd,
+    verify_speaker,
+    _bleu_fallback,
+)
+from hifigan_tpu.eval.evaluator import BENCHMARKS, create_evaluation_report
+
+
+def test_cosine_similarity():
+    a = jnp.asarray([[1.0, 0.0], [1.0, 1.0]])
+    b = jnp.asarray([[1.0, 0.0], [-1.0, -1.0]])
+    sim = np.asarray(cosine_similarity(a, b))
+    np.testing.assert_allclose(sim, [1.0, -1.0], atol=1e-6)
+
+
+def test_verify_speaker_threshold():
+    e = jnp.asarray([[1.0, 0.0]])
+    same, sim = verify_speaker(e, e)
+    assert bool(same[0]) and float(sim[0]) > 0.99
+    diff, _ = verify_speaker(e, jnp.asarray([[0.0, 1.0]]))
+    assert not bool(diff[0])
+
+
+def test_average_lagging():
+    assert average_lagging([1.0, 2.0], [1.5, 3.0]) == pytest.approx(0.75)
+    assert average_lagging([], []) == 0.0
+
+
+def test_corpus_bleu_perfect_and_fallback():
+    hyps = ["the cat sat on the mat", "hello world foo bar"]
+    refs = ["the cat sat on the mat", "hello world foo bar"]
+    assert corpus_bleu(hyps, refs) == pytest.approx(100.0, abs=0.1)
+    assert _bleu_fallback(hyps, refs) == pytest.approx(100.0, abs=0.1)
+    # fallback tracks sacrebleu on an imperfect pair
+    hyps2 = ["the cat sat on a mat today ok", "hello world foo baz zap quux more"]
+    sb = corpus_bleu(hyps2, refs)
+    fb = _bleu_fallback(hyps2, refs)
+    assert 0 < fb < 100 and 0 < sb < 100
+    assert abs(sb - fb) < 15.0
+
+
+def test_mcd_zero_for_identical(rng):
+    m = rng.standard_normal((10, 80))
+    assert mcd(m, m) == pytest.approx(0.0, abs=1e-9)
+    assert mcd(m, m + 1e-1 * rng.standard_normal((10, 80))) > 0
+
+
+def test_report_pass_fail(tmp_path):
+    results = [
+        {"speaker_similarity": 0.8, "emotion_similarity": 0.75, "asr_bleu": 25.0},
+        {"speaker_similarity": 0.78, "emotion_similarity": 0.72, "asr_bleu": 22.0},
+    ]
+    path = str(tmp_path / "report.json")
+    rep = create_evaluation_report(results, path)
+    assert rep["benchmarks"]["speaker_similarity"]["status"] == "PASS"
+    assert rep["benchmarks"]["asr_bleu"]["status"] == "PASS"
+    assert rep["benchmarks"]["speaker_similarity"]["benchmark"] == 0.73
+    with open(path) as f:
+        assert json.load(f)["num_samples"] == 2
+    bad = [{"speaker_similarity": 0.5, "emotion_similarity": 0.4, "asr_bleu": 5.0}]
+    rep2 = create_evaluation_report(bad)
+    assert rep2["benchmarks"]["speaker_similarity"]["status"] == "FAIL"
+
+
+def test_asr_bleu_cli_roundtrip(tmp_path, rng):
+    """Full asr_bleu pipeline with an injected transcriber (no network)."""
+    from hifigan_tpu.eval.asr_bleu import run_asr_bleu, write_wav
+    from hifigan_tpu.eval.asr import NullTranscriber
+
+    refs = ["hello world how are you", "goodbye now see you later"]
+    d = tmp_path / "audio"
+    d.mkdir()
+    for i in range(2):
+        write_wav(str(d / f"{i}_pred.wav"), rng.standard_normal(1600) * 0.1)
+    (tmp_path / "refs.txt").write_text("\n".join(refs))
+    out = run_asr_bleu(
+        "en", str(d), str(tmp_path / "refs.txt"),
+        transcriber=NullTranscriber({0: refs[0], 1: refs[1]}),
+        transcripts_path=str(tmp_path / "hyps.txt"),
+    )
+    assert out["bleu"] == pytest.approx(100.0, abs=0.1)
+    assert (tmp_path / "hyps.txt").read_text().splitlines() == refs
+
+
+def test_silence_removal():
+    from hifigan_tpu.eval.asr_bleu import remove_silence
+    sr = 16000
+    loud = np.sin(np.linspace(0, 100, sr)).astype(np.float32)
+    silent = np.zeros(sr, np.float32)
+    audio = np.concatenate([silent, loud, silent])
+    trimmed = remove_silence(audio, sr)
+    assert len(trimmed) < len(audio)
+    assert len(trimmed) >= len(loud) * 0.9

@@ -1,0 +1,181 @@
+"""Streaming runtime tests: online fbank incremental equivalence, CTC
+decode primitives, policies, code vocoder duration expansion, and full
+agent sessions through the simulation harness."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hifigan_tpu.models.code_vocoder import (
+    CodeVocoder,
+    CodeVocoderConfig,
+    expand_by_durations,
+)
+from hifigan_tpu.models.streamspeech import StreamSpeechConfig, StreamSpeechS2ST
+from hifigan_tpu.streaming.decode import (
+    ctc_greedy_collapse,
+    ctc_prefix_frames,
+    trim_to_whole_words,
+)
+from hifigan_tpu.streaming.features import FbankConfig, OnlineFbank
+from hifigan_tpu.streaming.harness import run_streaming_session
+from hifigan_tpu.streaming.policy import StreamSpeechPolicy, WaitKPolicy
+from hifigan_tpu.streaming.runtime import S2STInference, S2STInferenceConfig
+
+
+def test_online_fbank_incremental_matches_batch(rng):
+    cfg = FbankConfig(cmvn="none")
+    audio = rng.standard_normal(16000).astype(np.float32) * 0.1
+    full = OnlineFbank(cfg)
+    full.push(audio)
+    inc = OnlineFbank(cfg)
+    for start in range(0, len(audio), 1111):
+        inc.push(audio[start : start + 1111])
+    np.testing.assert_allclose(full.frames(), inc.frames(), rtol=1e-4, atol=1e-5)
+    # 10ms shift → about 100 frames/sec
+    assert abs(full.num_frames - 98) < 4
+
+
+def test_ctc_collapse_and_prefix():
+    ids = [0, 3, 3, 0, 4, 4, 4, 0, 0, 3, 5]
+    tokens, frames = ctc_greedy_collapse(ids)
+    assert tokens == [3, 4, 3, 5]
+    assert frames == [1, 4, 9, 10]
+    new, total = ctc_prefix_frames(ids, 2)
+    assert new == [3, 5] and total == 4
+
+
+def test_trim_to_whole_words():
+    assert trim_to_whole_words(["▁he", "llo", "▁wor", "ld"]) == ["▁he", "llo"]
+    assert trim_to_whole_words(["llo"]) == []
+
+
+def test_streamspeech_policy_gate():
+    p = StreamSpeechPolicy(stride_n=2)
+    assert not p.should_write(1, 1, source_finished=False)
+    assert p.should_write(2, 2, source_finished=False)
+    p.committed(2, 2)
+    assert not p.should_write(3, 3, source_finished=False)  # only 1 new each
+    assert p.should_write(4, 4, source_finished=False)
+    assert p.should_write(0, 0, source_finished=True)
+
+
+def test_waitk_budgets():
+    # reference arithmetic (wait-k agent :377-384): ((seg−k1)//n)·n
+    w = WaitKPolicy(k1=3, n1=2, k2=1, n2=2, unit_per_subword=5)
+    assert w.subword_budget(2, source_finished=False) == 0
+    assert w.subword_budget(3, source_finished=False) == 0
+    assert w.subword_budget(5, source_finished=False) == 2
+    assert w.subword_budget(7, source_finished=False) == 4
+    assert w.unit_budget(0, source_finished=False) == 0
+    assert w.unit_budget(1, source_finished=False) == 0
+    assert w.unit_budget(3, source_finished=False) == 10
+    assert w.unit_budget(5, source_finished=False) == 20
+
+
+def test_expand_by_durations_matches_repeat(rng):
+    frames = jnp.asarray(rng.standard_normal((2, 4, 3), dtype=np.float32))
+    dur = jnp.asarray([[1, 2, 0, 3], [2, 2, 1, 1]], dtype=jnp.int32)
+    out, mask, total = expand_by_durations(frames, dur, 8)
+    assert out.shape == (2, 8, 3)
+    np.testing.assert_array_equal(np.asarray(total), [6, 6])
+    f = np.asarray(frames)
+    expect0 = np.concatenate([
+        np.repeat(f[0, 0:1], 1, 0), np.repeat(f[0, 1:2], 2, 0), np.repeat(f[0, 3:4], 3, 0),
+    ])
+    np.testing.assert_allclose(np.asarray(out)[0, :6], expect0, rtol=1e-6)
+    assert not np.asarray(mask)[0, 6:].any()
+    np.testing.assert_allclose(np.asarray(out)[0, 6:], 0.0)
+
+
+TINY_CODE = CodeVocoderConfig(
+    unit_vocab_size=50, embed_dim=16, upsample_factors=(4, 2),
+    hidden_channels=16, max_duration_per_unit=3,
+)
+
+
+def test_code_vocoder_shapes(rng):
+    m = CodeVocoder(TINY_CODE)
+    units = jnp.asarray(rng.integers(0, 50, (2, 8)), dtype=jnp.int32)
+    params = m.init(jax.random.PRNGKey(0), units)
+    wav, dur, n = m.apply(params, units)
+    assert wav.shape == (2, 1, 8 * 3 * 8)  # U * max_dur * ratio
+    assert dur.shape == (2, 8)
+    assert (np.asarray(dur) >= 1).all() and (np.asarray(dur) <= 3).all()
+    for b in range(2):
+        ns = int(np.asarray(n)[b])
+        assert ns == int(np.asarray(dur)[b].sum()) * 8
+        np.testing.assert_allclose(np.asarray(wav)[b, 0, ns:], 0.0)
+
+
+TINY_SS = StreamSpeechConfig(
+    input_dim=80, hidden_dim=32, encoder_layers=1, decoder_layers=1,
+    num_heads=4, vocab_size=30, unit_vocab_size=50, chunk_size=8,
+    vocoder_hidden=32, vocoder_upsample=(4, 2),
+    ecapa_channels=32, emo_hidden=32, emo_layers=1,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_inference():
+    model = StreamSpeechS2ST(TINY_SS)
+    rng = jax.random.PRNGKey(0)
+    mel = jnp.zeros((1, 16, 80))
+    tgt = jnp.zeros((1, 8), jnp.int32)
+    params = model.init(rng, mel, tgt)
+    cv = CodeVocoder(TINY_CODE)
+    cv_params = cv.init(jax.random.PRNGKey(1), jnp.zeros((1, 8), jnp.int32))
+    cfg = S2STInferenceConfig(source_buckets=(32, 64, 128, 256),
+                              max_target_len=16, max_new_tokens=4)
+    return S2STInference(model, params, cv, cv_params, cfg)
+
+
+def test_asr_agent_session(tiny_inference, rng):
+    from hifigan_tpu.streaming.agents import ASRAgent
+
+    agent = ASRAgent(tiny_inference)
+    audio = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    result = run_streaming_session(agent, audio, segment_size_ms=320)
+    assert result.source_seconds == pytest.approx(1.0)
+    assert result.average_lagging_ms >= 0.0
+    # ASR text deltas never repeat committed tokens
+    assert len(agent.committed_src) == len([
+        t for seg in result.outputs for t in seg.content.split()
+    ])
+
+
+def test_s2tt_agent_session(tiny_inference, rng):
+    from hifigan_tpu.streaming.agents import S2TTAgent
+
+    agent = S2TTAgent(tiny_inference)
+    audio = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    result = run_streaming_session(agent, audio, segment_size_ms=320)
+    assert len(agent.committed_text_ids) == len(
+        [t for seg in result.outputs for t in seg.content.split()]
+    )
+
+
+def test_s2st_agent_session_emits_audio(tiny_inference, rng):
+    from hifigan_tpu.streaming.agents import S2STAgent
+
+    agent = S2STAgent(tiny_inference)
+    audio = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+    result = run_streaming_session(agent, audio, segment_size_ms=320)
+    wav = result.waveform
+    # tail emissions are duration-aligned: total samples == sum of all
+    # emitted units' durations * upsample ratio (8)
+    if len(agent.emitted_units):
+        assert len(wav) > 0
+        assert len(wav) % 8 == 0
+
+
+def test_waitk_s2tt_agent(tiny_inference, rng):
+    from hifigan_tpu.streaming.agents import WaitkS2TTAgent
+
+    agent = WaitkS2TTAgent(tiny_inference, k1=2, n1=1)
+    audio = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    result = run_streaming_session(agent, audio, segment_size_ms=320)
+    # no text before k1 segments were read: first emission strictly after
+    if result.emission_source_seconds:
+        assert result.emission_source_seconds[0] >= 2 * 0.32 - 1e-6
