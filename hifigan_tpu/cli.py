@@ -1,0 +1,350 @@
+"""Command-line interface: ``train`` / ``eval`` / ``serve`` / ``simulate`` / ``bench``.
+
+The reference exposes training via ad-hoc scripts and YAML configs,
+evaluation via ``compute_asr_bleu.py`` and the evaluation framework, the
+app via uvicorn, and streaming via SimulEval agent CLIs (SURVEY.md §2.8,
+§5.6).  This CLI unifies them over the typed config tree:
+
+    python -m hifigan_tpu.cli train --config configs/train_config.yaml
+    python -m hifigan_tpu.cli eval --samples 4
+    python -m hifigan_tpu.cli simulate --agent s2st --audio path.wav
+    python -m hifigan_tpu.cli serve
+    python -m hifigan_tpu.cli bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+
+log = logging.getLogger("hifigan_tpu")
+
+
+def _setup_jax():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+    return jax
+
+
+def cmd_train(args):
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from hifigan_tpu.models.generator import GeneratorConfig
+    from hifigan_tpu.ops.stft import MelConfig
+    from hifigan_tpu.parallel import make_mesh, make_sharded_train_step
+    from hifigan_tpu.parallel.mesh import shard_batch
+    from hifigan_tpu.train import TrainConfig, create_train_state, make_train_step
+    from hifigan_tpu.train.checkpoint import CheckpointManager
+    from hifigan_tpu.train.data import (
+        AugmentConfig,
+        BatchLoader,
+        SyntheticSpeechDataset,
+        WavDirectoryDataset,
+    )
+
+    cfg = TrainConfig()
+    if args.tiny:
+        from dataclasses import replace
+
+        cfg = replace(
+            cfg,
+            generator=GeneratorConfig(
+                input_channels=16, hidden_channels=32, upsample_factors=(4, 2),
+                resblock_kernel_sizes=(3,), resblock_dilations=((1, 3),),
+                lora_rank=4,
+            ),
+            mel=MelConfig(n_fft=32, hop_length=8, win_length=32, n_mels=16),
+            warmup_steps=0, decay_steps=1000,
+            ecapa_channels=32, emo_hidden=32, emo_layers=1, emo_heads=4,
+        )
+    raw = {}
+    if args.config:
+        import yaml
+
+        with open(args.config) as f:
+            raw = yaml.safe_load(f) or {}
+        tr = raw.get("training", {})
+        from dataclasses import replace
+
+        cfg = replace(
+            cfg,
+            learning_rate=tr.get("learning_rate", cfg.learning_rate),
+            beta1=tr.get("beta1", cfg.beta1),
+            beta2=tr.get("beta2", cfg.beta2),
+            warmup_steps=tr.get("warmup_steps", cfg.warmup_steps),
+        )
+    batch_size = raw.get("training", {}).get("batch_size", args.batch_size)
+    seg = raw.get("training", {}).get("segment_samples", args.segment_samples)
+    if args.tiny:
+        seg = min(seg, 256)
+
+    if args.data_dir:
+        dataset = WavDirectoryDataset(
+            args.data_dir, segment_samples=seg,
+            augment_cfg=AugmentConfig() if args.augment else None,
+        )
+    else:
+        dataset = SyntheticSpeechDataset(segment_samples=seg, size=max(64, batch_size * 8))
+        log.info("no --data_dir: training on the synthetic dataset")
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    state, vocoder, discs = create_train_state(
+        jax.random.PRNGKey(args.seed), cfg,
+        mel_frames=seg // cfg.mel.hop_length, batch_size=batch_size, dtype=dtype,
+    )
+    step_fn = make_train_step(vocoder, discs, cfg)
+    n_dev = len(jax.devices())
+    mesh = None
+    if n_dev > 1:
+        mesh = make_mesh(n_data=n_dev)
+        step_fn = make_sharded_train_step(step_fn, mesh)
+        log.info("data-parallel over %d devices", n_dev)
+
+    mgr = CheckpointManager(args.checkpoint_dir, save_interval=args.save_steps)
+    if args.resume and mgr.latest_step() is not None:
+        state = mgr.restore(state)
+        log.info("resumed from step %d", int(state.step))
+
+    loader = BatchLoader(dataset, batch_size, seed=args.seed, num_chunks=args.num_chunks)
+    metrics_path = os.path.join(args.checkpoint_dir, "metrics.jsonl")
+    os.makedirs(args.checkpoint_dir, exist_ok=True)
+    steps_done = int(state.step)
+    t_start = time.time()
+    with open(metrics_path, "a") as mf:
+        for epoch in range(args.epochs):
+            for chunk in range(args.num_chunks):
+                for batch in loader.epoch(epoch, chunk):
+                    if mesh is not None:
+                        batch = shard_batch(batch, mesh)
+                    state, metrics = step_fn(state, batch)
+                    steps_done += 1
+                    if steps_done % args.log_every == 0:
+                        m = {k: float(v) for k, v in metrics.items()}
+                        m.update(step=steps_done, epoch=epoch,
+                                 wall_s=round(time.time() - t_start, 1))
+                        mf.write(json.dumps(m) + "\n")
+                        mf.flush()
+                        log.info("step %d: G=%.3f D=%.3f mel=%.3f", steps_done,
+                                 m["generator_loss"], m["discriminator_loss"],
+                                 m["mel_loss"])
+                    mgr.save(state)
+                    if args.max_steps and steps_done >= args.max_steps:
+                        mgr.save(state, force=True)
+                        mgr.wait()
+                        log.info("done at step %d", steps_done)
+                        return
+                mgr.save(state, force=True)  # per-chunk checkpoint (incremental mode)
+    mgr.save(state, force=True)
+    mgr.wait()
+
+
+def cmd_eval(args):
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from hifigan_tpu.eval.evaluator import StreamEvaluator, create_evaluation_report
+    from hifigan_tpu.models.embeddings import EcapaTdnn, Emotion2Vec
+    from hifigan_tpu.models.generator import Generator, GeneratorConfig
+    from hifigan_tpu.ops.stft import MelConfig, log_mel_spectrogram
+    from hifigan_tpu.train import TrainConfig, create_train_state
+    from hifigan_tpu.train.checkpoint import CheckpointManager
+    from hifigan_tpu.train.data import SyntheticSpeechDataset
+    from hifigan_tpu.train.train_step import audio_to_mel
+
+    cfg = TrainConfig()
+    if args.tiny:
+        from dataclasses import replace
+
+        cfg = replace(
+            cfg,
+            generator=GeneratorConfig(
+                input_channels=16, hidden_channels=32, upsample_factors=(4, 2),
+                resblock_kernel_sizes=(3,), resblock_dilations=((1, 3),),
+                lora_rank=4,
+            ),
+            mel=MelConfig(n_fft=32, hop_length=8, win_length=32, n_mels=16),
+            ecapa_channels=32, emo_hidden=32, emo_layers=1, emo_heads=4,
+        )
+    state, vocoder, _ = create_train_state(jax.random.PRNGKey(0), cfg)
+    if args.checkpoint_dir:
+        mgr = CheckpointManager(args.checkpoint_dir)
+        if mgr.latest_step() is not None:
+            state = mgr.restore(state)
+
+    synth = jax.jit(lambda mel: vocoder.apply(state.gen_params, mel)["waveform"])
+    n_mels = cfg.mel.n_mels
+    if args.tiny:
+        spk_model = EcapaTdnn(n_mels=n_mels, channels=32)
+        emo_model = Emotion2Vec(n_mels=n_mels, hidden_dim=32, num_layers=1, num_heads=4)
+    else:
+        spk_model = EcapaTdnn(n_mels=n_mels)
+        emo_model = Emotion2Vec(n_mels=n_mels)
+    spk_params = spk_model.init(jax.random.PRNGKey(1), jnp.zeros((1, n_mels, 32)))
+    emo_params = emo_model.init(jax.random.PRNGKey(2), jnp.zeros((1, n_mels, 32)))
+    evaluator = StreamEvaluator(
+        synthesize_fn=synth,
+        speaker_embed_fn=jax.jit(lambda m: spk_model.apply(spk_params, m)),
+        emotion_embed_fn=jax.jit(lambda m: emo_model.apply(emo_params, m)),
+        mel_fn=jax.jit(lambda w: audio_to_mel(w, cfg)),
+    )
+    data = SyntheticSpeechDataset(segment_samples=args.segment_samples, size=args.samples)
+    samples = []
+    for i in range(args.samples):
+        audio = jnp.asarray(data[i][None])
+        samples.append({"mel": audio_to_mel(audio, cfg)})
+    results = evaluator.evaluate_batch(samples)
+    report = create_evaluation_report(results, args.output)
+    print(json.dumps({k: report["benchmarks"][k]["status"]
+                      for k in report["benchmarks"]} |
+                     {"stats": {k: round(v["mean"], 4)
+                                for k, v in report["statistics"].items()}}))
+
+
+def cmd_simulate(args):
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from hifigan_tpu.eval.asr_bleu import read_wav
+    from hifigan_tpu.models.code_vocoder import CodeVocoder, CodeVocoderConfig
+    from hifigan_tpu.models.streamspeech import StreamSpeechConfig, StreamSpeechS2ST
+    from hifigan_tpu.streaming import run_streaming_session
+    from hifigan_tpu.streaming.agents import (
+        ASRAgent,
+        S2STAgent,
+        S2TTAgent,
+        WaitkS2STAgent,
+        WaitkS2TTAgent,
+    )
+    from hifigan_tpu.streaming.runtime import S2STInference, S2STInferenceConfig
+
+    cfg = StreamSpeechConfig()
+    if args.tiny:
+        cfg = StreamSpeechConfig(
+            hidden_dim=32, encoder_layers=1, decoder_layers=1, num_heads=4,
+            vocab_size=100, unit_vocab_size=50, chunk_size=8,
+            vocoder_hidden=32, vocoder_upsample=(4, 2),
+            ecapa_channels=32, emo_hidden=32, emo_layers=1,
+        )
+    model = StreamSpeechS2ST(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, cfg.input_dim)),
+                        jnp.zeros((1, 8), jnp.int32))
+    cvc = (CodeVocoderConfig(unit_vocab_size=cfg.unit_vocab_size, embed_dim=16,
+                             upsample_factors=(4, 2), hidden_channels=32,
+                             max_duration_per_unit=3)
+           if args.tiny else CodeVocoderConfig(unit_vocab_size=cfg.unit_vocab_size))
+    cv = CodeVocoder(cvc)
+    cvp = cv.init(jax.random.PRNGKey(1), jnp.zeros((1, 8), jnp.int32))
+    inf = S2STInference(model, params, cv, cvp)
+    agents = {
+        "asr": ASRAgent, "s2tt": S2TTAgent, "s2st": S2STAgent,
+        "waitk-s2tt": WaitkS2TTAgent, "waitk-s2st": WaitkS2STAgent,
+    }
+    agent = agents[args.agent](inf)
+    if args.audio:
+        audio, sr = read_wav(args.audio)
+    else:
+        from hifigan_tpu.train.data import SyntheticSpeechDataset
+
+        audio, sr = SyntheticSpeechDataset(segment_samples=16000)[0], 16000
+    t0 = time.time()
+    result = run_streaming_session(agent, audio, sample_rate=sr,
+                                   segment_size_ms=args.segment_size)
+    print(json.dumps({
+        "agent": args.agent,
+        "source_seconds": result.source_seconds,
+        "writes": len(result.outputs),
+        "text": result.text[:200],
+        "output_samples": int(len(result.waveform)),
+        "average_lagging_ms": round(result.average_lagging_ms, 1),
+        "wall_s": round(time.time() - t0, 2),
+    }))
+
+
+def cmd_serve(args):
+    from hifigan_tpu.app.config import settings, settings_from_yaml
+    from hifigan_tpu.app.server import serve
+
+    cfg = settings_from_yaml(args.config) if args.config else settings
+    if args.port:
+        from dataclasses import replace
+
+        cfg = replace(cfg, web=replace(cfg.web, port=args.port))
+    serve(cfg)
+
+
+def cmd_bench(args):
+    root = os.path.join(os.path.dirname(__file__), "..")
+    sys.path.insert(0, root)
+    import bench
+
+    bench.main()
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(levelname)s %(message)s")
+    p = argparse.ArgumentParser(prog="hifigan_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("train", help="GAN-train the vocoder")
+    t.add_argument("--config", default=None)
+    t.add_argument("--data_dir", default=None)
+    t.add_argument("--checkpoint_dir", default="checkpoints")
+    t.add_argument("--batch_size", type=int, default=16)
+    t.add_argument("--segment_samples", type=int, default=8192)
+    t.add_argument("--epochs", type=int, default=1)
+    t.add_argument("--max_steps", type=int, default=0)
+    t.add_argument("--save_steps", type=int, default=5000)
+    t.add_argument("--log_every", type=int, default=10)
+    t.add_argument("--num_chunks", type=int, default=1)
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--augment", action="store_true")
+    t.add_argument("--resume", action="store_true")
+    t.add_argument("--bf16", action="store_true")
+    t.add_argument("--tiny", action="store_true",
+                   help="tiny model/segment sizes for smoke runs")
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("eval", help="run the evaluation suite")
+    e.add_argument("--checkpoint_dir", default=None)
+    e.add_argument("--samples", type=int, default=4)
+    e.add_argument("--segment_samples", type=int, default=8192)
+    e.add_argument("--output", default=None)
+    e.add_argument("--tiny", action="store_true")
+    e.set_defaults(fn=cmd_eval)
+
+    s = sub.add_parser("simulate", help="run a streaming agent session")
+    s.add_argument("--agent", choices=["asr", "s2tt", "s2st", "waitk-s2tt", "waitk-s2st"],
+                   default="s2st")
+    s.add_argument("--audio", default=None)
+    s.add_argument("--segment_size", type=int, default=320)
+    s.add_argument("--tiny", action="store_true")
+    s.set_defaults(fn=cmd_simulate)
+
+    v = sub.add_parser("serve", help="start the translation app server")
+    v.add_argument("--config", default=None)
+    v.add_argument("--port", type=int, default=0)
+    v.set_defaults(fn=cmd_serve)
+
+    b = sub.add_parser("bench", help="run the RTF benchmark")
+    b.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -34,13 +34,17 @@ class HFTranscriber:
 
     def __init__(self, lang: str = "en", model_name: Optional[str] = None,
                  sample_rate: int = 16_000):
+        import os
+
         import torch  # gated: torch is CPU-only in this image
         from transformers import Wav2Vec2ForCTC, Wav2Vec2Processor
 
+        kw = ({} if os.environ.get("HIFIGAN_TPU_ALLOW_DOWNLOADS", "").lower()
+              in ("1", "true") else {"local_files_only": True})
         self._torch = torch
         name = model_name or ASR_MODEL_REGISTRY[lang]
-        self.processor = Wav2Vec2Processor.from_pretrained(name)
-        self.model = Wav2Vec2ForCTC.from_pretrained(name)
+        self.processor = Wav2Vec2Processor.from_pretrained(name, **kw)
+        self.model = Wav2Vec2ForCTC.from_pretrained(name, **kw)
         self.model.eval()
         self.sample_rate = sample_rate
 
