@@ -146,14 +146,25 @@ class ODConvTranspose1d(nn.Module):
     stride: int
     padding: int = 0
     num_kernels: int = 4
+    fold_in: int = 1  # input is time-folded [B, U, fold_in*Cin]
+    unfold_output: bool = True  # False: return folded [B, U, fold_in*stride*Cout]
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        F = self.fold_in
+        if F > 1:
+            # pool per true channel: mean over blocks and fold phases
+            pooled_x = jnp.mean(
+                x.astype(jnp.float32).reshape(x.shape[0], -1, F, self.in_features),
+                axis=(1, 2),
+            )[:, None, :]  # [B, 1, Cin] (attention heads re-pool over axis 1)
+        else:
+            pooled_x = x
         attn = _ODAttentionHeads(
             self.in_features, self.out_features, self.kernel_size, self.num_kernels,
             name="attention",
-        )(x)
+        )(pooled_x)
         kernels = self.param(
             "kernels",
             nn.initializers.normal(0.01),
@@ -166,6 +177,23 @@ class ODConvTranspose1d(nn.Module):
         w = od_ops.mix_kernels(kernels, attn.kernel)  # [B, Cin, Cout, k]
         w = w * attn.spatial[:, None, None, :]
         b = od_ops.mix_bias(bias, attn.kernel)
+        exact = self.kernel_size == 2 * self.padding + self.stride
+        if exact:
+            # folded path (fold_in == 1 included): output stays time-folded
+            # [B, U, fold_in*stride*Cout] — lanes never shrink below 128
+            ic = jnp.tile(attn.in_channel, (1, F)) if F > 1 else attn.in_channel
+            x = (x * ic[:, None, :]).astype(self.dtype)
+            y = conv_ops.folded_dynamic_conv_transpose1d(
+                x, w.astype(self.dtype), b,
+                stride=self.stride, padding=self.padding, fold_in=F,
+            )
+            oc = jnp.tile(attn.out_channel, (1, F * self.stride))
+            y = (y * oc[:, None, :]).astype(self.dtype)
+            if self.unfold_output:
+                B, U = y.shape[0], y.shape[1]
+                y = y.reshape(B, U * F * self.stride, self.out_features)
+            return y
+        assert F == 1, "folded input requires exact-length upsampling"
         x = (x * attn.in_channel[:, None, :]).astype(self.dtype)
         y = conv_ops.dynamic_conv_transpose1d(
             x, w.astype(self.dtype), b, stride=self.stride, padding=self.padding
@@ -320,9 +348,16 @@ class Generator(nn.Module):
         x = conv_ops.conv1d(x, w_in.astype(self.dtype), b_in, padding=(cfg.kernel_size - 1) // 2)
         x = FiLM(cfg.hidden_channels, dtype=self.dtype, name="film_0")(x, cond)
 
+        # --- upsampling runs time-folded end-to-end: the polyphase
+        # transposed conv naturally emits fold_in*f packed steps per
+        # block; we renormalise the fold after each stage so the lane
+        # dimension stays >= 128 true channels (ops/fold.py — unfolded
+        # small-channel layouts run at <10% HBM efficiency) ---
         ch = cfg.hidden_channels
+        fold = 1
         for i, f in enumerate(cfg.upsample_factors):
             out_ch = ch // 2
+            exact = (2 * f == 2 * (f // 2) + f)  # k = 2p + f, i.e. f even
             x = ODConvTranspose1d(
                 in_features=ch,
                 out_features=out_ch,
@@ -330,21 +365,27 @@ class Generator(nn.Module):
                 stride=f,
                 padding=f // 2,
                 num_kernels=cfg.odconv_k,
+                fold_in=fold,
+                unfold_output=False,
                 dtype=self.dtype,
                 name=f"upsample_{i}",
             )(x)
+            fold = fold * f if exact else 1
+            target = min(max(1, 128 // out_ch), fold)
+            if fold != target:  # partial unfold: free contiguous reshape
+                B, U = x.shape[0], x.shape[1]
+                x = x.reshape(B, U * (fold // target), target * out_ch)
+                fold = target
             x = conv_ops.leaky_relu(x, cfg.leaky_slope)
-            x = FiLM(out_ch, dtype=self.dtype, name=f"film_{i + 1}")(x, cond)
+            x = FiLM(out_ch, fold=fold, dtype=self.dtype, name=f"film_{i + 1}")(x, cond)
             ch = out_ch
 
-        # --- audio-rate section runs time-folded so the 32-channel MRF
-        # layers use the full 128-lane width (ops/fold.py; ~10x faster) ---
-        T_audio = x.shape[1]
-        fold = 1
+        # --- MRF section: (re)fold to the audio-rate target ---
+        T_audio = x.shape[1] * fold
         cand = max(1, 128 // ch)
-        if cand > 1 and T_audio % cand == 0:
+        if cand != fold and T_audio % cand == 0:
+            x = x.reshape(x.shape[0], T_audio // cand, cand * ch)
             fold = cand
-            x = fold_ops.fold_time(x, fold)
 
         n_up = len(cfg.upsample_factors)
         for i, (ks, dils) in enumerate(zip(cfg.resblock_kernel_sizes, cfg.resblock_dilations)):

@@ -41,6 +41,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 Array = jax.Array
@@ -120,6 +121,79 @@ def conv2d(
     return y.astype(x.dtype)
 
 
+def _polyphase_shifts(k: int, stride: int, padding: int) -> list[int]:
+    """Input-block shifts d such that tap ``j = d*stride + r + padding``
+    is in range for some output phase ``r ∈ [0, stride)``."""
+    lo = -((stride - 1 + padding) // stride)
+    hi = (k - 1 - padding) // stride
+    return list(range(lo, hi + 1))
+
+
+def _polyphase_kernel(w_iok: Array, stride: int, padding: int) -> Array:
+    """Rearrange a transposed-conv kernel ``[..., Cin, Cout, k]`` into the
+    polyphase matmul operator ``[..., |D|·Cin, stride·Cout]``:
+
+        y[u·f + r, o] = Σ_d Σ_i x[u − d, i] · Wd[i, (r, o)]
+        with tap j = d·f + r + padding (zero outside [0, k)).
+
+    The transform is a trace-time gather on the (tiny) kernel tensor;
+    out-of-range taps are masked to zero.
+    """
+    f = stride
+    k = w_iok.shape[-1]
+    D = _polyphase_shifts(k, f, padding)
+    d_arr = np.asarray(D)[:, None]  # [|D|, 1]
+    r_arr = np.arange(f)[None, :]  # [1, f]
+    j = d_arr * f + r_arr + padding  # [|D|, f]
+    valid = (j >= 0) & (j < k)
+    j_safe = np.clip(j, 0, k - 1)
+    # [..., Cin, Cout, |D|, f]
+    wt = jnp.take(w_iok, jnp.asarray(j_safe.reshape(-1)), axis=-1)
+    wt = wt.reshape(w_iok.shape[:-1] + (len(D), f))
+    wt = wt * jnp.asarray(valid, dtype=wt.dtype)
+    # -> [..., |D|, Cin, f, Cout] -> [..., |D|*Cin, f*Cout]
+    perm = list(range(wt.ndim - 4)) + [wt.ndim - 2, wt.ndim - 4, wt.ndim - 1, wt.ndim - 3]
+    wt = wt.transpose(perm)
+    lead = wt.shape[:-4]
+    nd, cin, ff, cout = wt.shape[-4:]
+    return wt.reshape(lead + (nd * cin, ff * cout))
+
+
+def _polyphase_apply(
+    x: Array, w_poly: Array, shifts: list[int], stride: int, padding: int,
+    k: int, b: Array | None, out_dtype,
+) -> Array:
+    """Shared polyphase executor: stack shifted inputs, one matmul, crop.
+
+    ``w_poly``: ``[|D|·Cin, f·Cout]`` (static) or ``[B, |D|·Cin, f·Cout]``.
+    """
+    B, T, Cin = x.shape
+    f = stride
+    l_out = (T - 1) * f + k - 2 * padding
+    U = -(-l_out // f)  # output blocks (may exceed T for k > 2*padding + f)
+    stacked = []
+    for d in shifts:
+        # xs[u] = x[u - d] over u ∈ [0, U), zero outside [0, T)
+        L = max(d, 0)
+        R = max(0, U - d - T)
+        x_ext = jnp.pad(x, ((0, 0), (L, R), (0, 0))) if (L or R) else x
+        xs = lax.slice(x_ext, (0, L - d, 0), (B, L - d + U, Cin))
+        stacked.append(xs)
+    xcat = jnp.concatenate(stacked, axis=-1)  # [B, U, |D|*Cin]
+    if w_poly.ndim == 2:
+        y = jnp.einsum("btp,pq->btq", xcat, w_poly.astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+    else:
+        y = jnp.einsum("btp,bpq->btq", xcat, w_poly.astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+    fo = y.shape[-1] // f
+    y = y.reshape(B, U * f, fo)  # phase-major within each block == time order
+    y = lax.slice(y, (0, 0, 0), (B, l_out, fo))
+    if b is not None:
+        y = y + (b[:, None, :] if b.ndim == 2 else b)
+    return y.astype(out_dtype)
+
+
 def conv_transpose1d(
     x: Array,
     w: Array,
@@ -128,18 +202,23 @@ def conv_transpose1d(
     stride: int,
     padding: int = 0,
 ) -> Array:
-    """Static-weight 1-D transposed conv (channels-last).
+    """Static-weight 1-D transposed conv (channels-last), polyphase.
+
+    Transposed convolution decomposes into ``stride`` phase-wise stride-1
+    convs; stacking the (few) shifted input copies turns the whole op
+    into ONE matmul ``[B,T,|D|·Cin] @ [|D|·Cin, stride·Cout]`` whose
+    output is already in time-major folded layout — no scatter, no
+    ``[B,T,Cout,k]`` intermediate (which tiles catastrophically for the
+    generator's late stages where Cout·k is small).
 
     Args:
-      x: ``[B, T, Cin]``.
-      w: ``[Cin, Cout, k]`` (torch ``conv_transpose1d`` layout).
+      x: ``[B, T, Cin]``; w: ``[Cin, Cout, k]`` (torch layout).
     Returns:
       ``[B, (T-1)*stride - 2*padding + k, Cout]``.
     """
-    # Route through the same overlap-add path as the dynamic version so a
-    # single well-tiled code path serves both; XLA folds the broadcast.
-    z = jnp.einsum("bti,iok->btok", x, w, preferred_element_type=jnp.float32)
-    return _overlap_add(z, stride, padding, b, x.dtype)
+    shifts = _polyphase_shifts(w.shape[-1], stride, padding)
+    w_poly = _polyphase_kernel(w, stride, padding)
+    return _polyphase_apply(x, w_poly, shifts, stride, padding, w.shape[-1], b, x.dtype)
 
 
 def extract_patches_1d(
@@ -198,42 +277,6 @@ def dynamic_conv1d(
     return y.astype(x.dtype)
 
 
-def _overlap_add(
-    z: Array,
-    stride: int,
-    padding: int,
-    b: Array | None,
-    out_dtype,
-) -> Array:
-    """Overlap-add of per-frame tap responses ``z [B, T, Cout, k]`` with hop
-    ``stride``: ``y[m] = sum_{t,j : t*stride + j == m + padding} z[t, :, j]``.
-
-    This realises transposed convolution output
-    ``L_out = (T-1)*stride + k - 2*padding`` without any scatter: the tap
-    axis is split into ``ceil(k/stride)`` stride-sized groups, each of
-    which reshapes to a contiguous signal and is added at a static offset.
-    """
-    B, T, O, k = z.shape
-    f = stride
-    n = -(-k // f)  # ceil
-    if k % f:
-        z = jnp.pad(z, ((0, 0), (0, 0), (0, 0), (0, n * f - k)))
-    full_len = T * f + (n - 1) * f
-    l_out = (T - 1) * f + k - 2 * padding
-    # z -> [B, T, n, f, O] -> per-group contiguous [B, T*f, O] at offset j*f
-    zg = z.reshape(B, T, O, n, f).transpose(0, 1, 3, 4, 2)  # [B, T, n, f, O]
-    y = jnp.zeros((B, full_len, O), dtype=z.dtype)
-    for j in range(n):
-        sig = zg[:, :, j].reshape(B, T * f, O)
-        pad_front = j * f
-        pad_back = full_len - T * f - pad_front
-        y = y + jnp.pad(sig, ((0, 0), (pad_front, pad_back), (0, 0)))
-    y = lax.slice(y, (0, padding, 0), (B, padding + l_out, O))
-    if b is not None:
-        y = y + (b[:, None, :] if b.ndim == 2 else b)
-    return y.astype(out_dtype)
-
-
 def dynamic_conv_transpose1d(
     x: Array,
     w: Array,
@@ -242,7 +285,8 @@ def dynamic_conv_transpose1d(
     stride: int,
     padding: int = 0,
 ) -> Array:
-    """Per-sample-filter transposed 1-D conv (the ODConv upsampler).
+    """Per-sample-filter transposed 1-D conv (the ODConv upsampler) —
+    polyphase batched matmul (see :func:`conv_transpose1d`).
 
     Args:
       x: ``[B, T, Cin]``.
@@ -251,8 +295,106 @@ def dynamic_conv_transpose1d(
     Returns:
       ``[B, (T-1)*stride + k - 2*padding, Cout]``.
     """
-    z = jnp.einsum("bti,biok->btok", x, w, preferred_element_type=jnp.float32)
-    return _overlap_add(z, stride, padding, b, x.dtype)
+    shifts = _polyphase_shifts(w.shape[-1], stride, padding)
+    w_poly = _polyphase_kernel(w, stride, padding)  # [B, |D|*Cin, f*Cout]
+    return _polyphase_apply(x, w_poly, shifts, stride, padding, w.shape[-1], b, x.dtype)
+
+
+def folded_polyphase_kernel(
+    w_iok: Array, stride: int, padding: int, fold_in: int
+) -> tuple[Array, list[int]]:
+    """Polyphase transposed-conv operator for **time-folded** input/output.
+
+    Input lanes pack ``fold_in`` consecutive time steps
+    (``X[v, q·Cin + i] = x[v·Fin + q, i]``); the output packs
+    ``fold_in · stride`` steps (``Y[v, (c·f + r)·Cout + o] =
+    y[(v·Fin + c)·f + r, o]``).  The composite map is a conv over folded
+    blocks with shifts δ and operator
+
+        W'_δ[(q, i), (c, r, o)] = W[i, o, j],
+        j = (c − δ·Fin − q)·f + r + padding   (zero outside [0, k)).
+
+    Keeping the generator's late upsampling stages folded holds the lane
+    dimension at 128 all the way to the waveform (the unfolded layouts
+    run at <10% HBM efficiency — see ops/fold.py).
+
+    Returns (W' ``[..., |Δ|·Fin·Cin, Fin·f·Cout]``, shifts Δ).
+    """
+    f = stride
+    k = w_iok.shape[-1]
+    fin = fold_in
+    # valid δ: j in range for some (q, c, r)
+    deltas = []
+    for delta in range(-k // (f * fin) - 2, k // (f * fin) + 3):
+        js = (np.arange(fin)[:, None, None] - delta * fin
+              - np.arange(fin)[None, :, None]) * f + np.arange(f)[None, None, :] + padding
+        # js indexed [c, q, r]
+        if ((js >= 0) & (js < k)).any():
+            deltas.append(delta)
+    c_arr = np.arange(fin)[:, None, None]
+    q_arr = np.arange(fin)[None, :, None]
+    r_arr = np.arange(f)[None, None, :]
+    blocks = []
+    for delta in deltas:
+        j = (c_arr - delta * fin - q_arr) * f + r_arr + padding  # [c, q, r]
+        valid = (j >= 0) & (j < k)
+        j_safe = np.clip(j, 0, k - 1)
+        wt = jnp.take(w_iok, jnp.asarray(j_safe.reshape(-1)), axis=-1)
+        wt = wt.reshape(w_iok.shape[:-1] + (fin, fin, f))  # [..., I, O, c, q, r]
+        wt = wt * jnp.asarray(valid, dtype=wt.dtype)
+        # -> [..., q, I, c, r, O]
+        nd = wt.ndim
+        perm = list(range(nd - 5)) + [nd - 2, nd - 5, nd - 3, nd - 1, nd - 4]
+        wt = wt.transpose(perm)
+        lead = wt.shape[:-5]
+        q_, i_, c_, r_, o_ = wt.shape[-5:]
+        blocks.append(wt.reshape(lead + (q_ * i_, c_ * r_ * o_)))
+    return jnp.concatenate(blocks, axis=-2), deltas
+
+
+def folded_dynamic_conv_transpose1d(
+    x_folded: Array,
+    w: Array,
+    b: Array | None = None,
+    *,
+    stride: int,
+    padding: int,
+    fold_in: int,
+) -> Array:
+    """Per-sample transposed conv on folded activations.
+
+    Args:
+      x_folded: ``[B, U, fold_in·Cin]``; w ``[B, Cin, Cout, k]``.
+      Requires exact-length upsampling (k = 2·padding + stride, as in
+      all generator stages) so no output cropping is needed.
+    Returns:
+      ``[B, U, fold_in·stride·Cout]`` (natural output fold).
+    """
+    k = w.shape[-1]
+    assert k == 2 * padding + stride, (
+        "folded path requires exact-length upsampling (k = 2p + f); "
+        f"got k={k}, p={padding}, f={stride}"
+    )
+    w_poly, deltas = folded_polyphase_kernel(w, stride, padding, fold_in)
+    B, U, FC = x_folded.shape
+    stacked = []
+    for d in deltas:
+        # xs[u] = X[u + d] (zero beyond the sequence)
+        if d > 0:
+            xs = jnp.pad(x_folded, ((0, 0), (0, d), (0, 0)))[:, d:]
+        elif d < 0:
+            xs = jnp.pad(x_folded, ((0, 0), (-d, 0), (0, 0)))[:, :U]
+        else:
+            xs = x_folded
+        stacked.append(xs)
+    xcat = jnp.concatenate(stacked, axis=-1)
+    y = jnp.einsum("bup,bpq->buq", xcat, w_poly.astype(x_folded.dtype),
+                   preferred_element_type=jnp.float32)
+    if b is not None:
+        fout = fold_in * stride
+        bb = jnp.tile(b, (1, fout) if b.ndim == 2 else (fout,))
+        y = y + (bb[:, None, :] if b.ndim == 2 else bb)
+    return y.astype(x_folded.dtype)
 
 
 def conv1d_via_matmul(

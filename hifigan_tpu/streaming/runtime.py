@@ -103,6 +103,18 @@ class S2STInference:
 
         self._decode_step = _decode_step
 
+        @jax.jit
+        def _decode_logprobs(params, enc, tokens):
+            """tokens [N, L] (enc broadcast over beams) → log-probs [N, L, V]."""
+            mem = jnp.broadcast_to(enc, (tokens.shape[0],) + enc.shape[1:])
+            logits = model.apply(
+                params, mem, tokens,
+                method=lambda m, e, t: m.text_decoder(e, t),
+            )
+            return jax.nn.log_softmax(logits, axis=-1)
+
+        self._decode_logprobs = _decode_logprobs
+
         if code_vocoder is not None:
 
             @jax.jit
@@ -166,6 +178,42 @@ class S2STInference:
             new.append(nxt)
             n += 1
         return new
+
+    def continue_text_beam(
+        self,
+        enc: Array,
+        prefix_ids: List[int],
+        *,
+        beam_size: int = 5,
+        max_new_tokens: Optional[int] = None,
+        length_penalty: float = 1.0,
+    ) -> List[int]:
+        """Beam-search continuation (reference HMT generators — see
+        :mod:`hifigan_tpu.streaming.beam`).  Pads the beam batch to a
+        fixed row count so every step reuses one compiled program."""
+        from hifigan_tpu.streaming import beam as beam_mod
+
+        cfg = self.cfg
+        rows = beam_size + 1
+
+        def score_fn(tokens: np.ndarray) -> np.ndarray:
+            n = tokens.shape[0]
+            padded = np.zeros((rows, tokens.shape[1]), np.int32)
+            padded[:n] = tokens
+            out = np.asarray(self._decode_logprobs(self.params, enc, jnp.asarray(padded)))
+            return out[:n]
+
+        hyps = beam_mod.beam_search(
+            score_fn,
+            prefix=prefix_ids,
+            beam_size=beam_size,
+            max_new_tokens=max_new_tokens or cfg.max_new_tokens,
+            max_len=cfg.max_target_len,
+            bos_id=cfg.bos_id,
+            eos_id=cfg.eos_id,
+            length_penalty=length_penalty,
+        )
+        return hyps[0].tokens if hyps else []
 
     # ---- units + waveform tail ----
 
