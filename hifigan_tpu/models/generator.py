@@ -66,6 +66,7 @@ class GeneratorConfig:
     lora_rank: int = 8
     grc_groups: int = 4
     leaky_slope: float = 0.1
+    mrf_backend: str = "auto"  # "auto" | "xla" | "pallas"
 
     @property
     def cond_dim(self) -> int:
@@ -261,7 +262,7 @@ class GRCLoRABlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, return_fused: bool = False):
         c, g, F = self.channels, self.groups, self.fold
         x = x.astype(self.dtype)
         residual = x
@@ -285,39 +286,45 @@ class GRCLoRABlock(nn.Module):
         gamma = self.param("norm_gamma", nn.initializers.ones, (c,), jnp.float32)
         beta = self.param("norm_beta", nn.initializers.zeros, (c,), jnp.float32)
 
+        # Algebraic fusion (matmul-chain reassociation XLA does not do):
+        #   mixed = (conv_W(x) + wb + α·lora(x)) @ Wmix + bm
+        #         = conv_{W·Wmix}(x)  +  x @ (α·Wlora·Wmix)  +  (wb·Wmix + bm)
+        # and the α·Wlora·Wmix term merges into the zero-shift conv tap,
+        # so the whole pre-norm block is ONE conv + constant bias.
         if F > 1:
             wf, lo, hi = fold_ops.fold_conv_kernel(
                 w_dense, F, padding=pad, dilation=self.dilation
             )
-            grouped = conv_ops.conv1d(
-                x, wf.astype(self.dtype), fold_ops.fold_channel_vector(wb, F),
-                padding=(lo, hi),
+            wm_f = fold_ops.fold_blockdiag(wm[0], F).astype(jnp.float32)
+            w2 = jnp.einsum("kab,bc->kac", wf.astype(jnp.float32), wm_f)
+            w_lora_f = fold_ops.fold_blockdiag(w_lora, F).astype(jnp.float32)
+            w2 = w2.at[lo].add(alpha[0] * (w_lora_f @ wm_f))
+            bias_const = (fold_ops.fold_channel_vector(wb, F) @ wm_f
+                          + fold_ops.fold_channel_vector(bm, F))
+            if return_fused:
+                # components for the fused Pallas chain (ops/pallas)
+                return {
+                    "w2": w2.astype(self.dtype),
+                    "bias": bias_const.astype(jnp.float32),
+                    "lo": lo,
+                    "gamma": gamma,
+                    "beta": beta,
+                }
+            mixed = conv_ops.conv1d(
+                x, w2.astype(self.dtype), bias_const, padding=(lo, hi)
             )
-            w_lora_f = fold_ops.fold_blockdiag(w_lora, F)
-            lora = jnp.einsum(
-                "btc,cd->btd", x, w_lora_f.astype(self.dtype),
-                preferred_element_type=jnp.float32,
-            ).astype(self.dtype)
-            combined = (grouped + alpha * lora).astype(self.dtype)
-            wm_f = fold_ops.fold_blockdiag(wm[0], F)
-            mixed = jnp.einsum(
-                "btc,cd->btd", combined, wm_f.astype(self.dtype),
-                preferred_element_type=jnp.float32,
-            ).astype(self.dtype) + fold_ops.fold_channel_vector(bm, F).astype(self.dtype)
             y = fold_ops.folded_group_norm(mixed + residual, gamma, beta, g, c, F)
         else:
-            grouped = conv_ops.conv1d_via_matmul(
-                x, w_dense.astype(self.dtype), wb, padding=pad, dilation=self.dilation
+            wm0 = wm[0].astype(jnp.float32)
+            w2 = jnp.einsum("kab,bc->kac", w_dense.astype(jnp.float32), wm0)
+            # zero-shift tap of a (k, dilation) conv with symmetric padding
+            mid = self.kernel_size // 2
+            w2 = w2.at[mid].add(alpha[0] * (w_lora.astype(jnp.float32) @ wm0))
+            bias_const = wb @ wm0 + bm
+            mixed = conv_ops.conv1d_via_matmul(
+                x, w2.astype(self.dtype), bias_const,
+                padding=pad, dilation=self.dilation,
             )
-            lora = jnp.einsum(
-                "btc,cd->btd", x, w_lora.astype(self.dtype),
-                preferred_element_type=jnp.float32,
-            ).astype(self.dtype)
-            combined = (grouped + alpha * lora).astype(self.dtype)
-            mixed = jnp.einsum(
-                "btc,cd->btd", combined, wm[0].astype(self.dtype),
-                preferred_element_type=jnp.float32,
-            ).astype(self.dtype) + bm.astype(self.dtype)
             y = lora_ops.group_norm(mixed + residual, gamma, beta, g)
         return conv_ops.leaky_relu(y, self.leaky_slope)
 
@@ -387,14 +394,19 @@ class Generator(nn.Module):
             x = x.reshape(x.shape[0], T_audio // cand, cand * ch)
             fold = cand
 
+        # measured on v5e: XLA's own fusion of the folded GRC chain is
+        # currently slightly faster than the Pallas kernel (4.6ms vs
+        # 5.4ms full forward), so "auto" resolves to XLA; the Pallas
+        # backend stays available and parity-tested (ops/pallas).
+        use_pallas = cfg.mrf_backend == "pallas"
         n_up = len(cfg.upsample_factors)
         for i, (ks, dils) in enumerate(zip(cfg.resblock_kernel_sizes, cfg.resblock_dilations)):
             residual = x
             # Reference zips a scalar kernel size with the dilation tuple:
             # each MRF stack i applies len(dils) sequential GRC blocks at
             # kernel size ks (generator.py:239-246, 290-297).
-            for j, d in enumerate(dils):
-                x = GRCLoRABlock(
+            blocks = [
+                GRCLoRABlock(
                     channels=ch,
                     kernel_size=ks,
                     dilation=d,
@@ -404,7 +416,22 @@ class Generator(nn.Module):
                     fold=fold,
                     dtype=self.dtype,
                     name=f"mrf_{i}_grc_{j}",
-                )(x)
+                )
+                for j, d in enumerate(dils)
+            ]
+            if use_pallas and fold > 1:
+                from hifigan_tpu.ops.pallas import grc_chain
+
+                comps = [blk(x, return_fused=True) for blk in blocks]
+                x = grc_chain(
+                    x, comps,
+                    groups=cfg.grc_groups, channels=ch, fold=fold,
+                    slope=cfg.leaky_slope,
+                    interpret=jax.default_backend() != "tpu",
+                )
+            else:
+                for blk in blocks:
+                    x = blk(x)
             x = x + residual
             x = FiLM(ch, fold=fold, dtype=self.dtype, name=f"film_{n_up + i + 1}")(x, cond)
 
