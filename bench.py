@@ -72,14 +72,60 @@ def bench_hifigan_v1(batch: int = 8, frames: int = 256) -> dict:
     return {"rtf": audio_sec / dt, "ms_per_call": dt * 1e3}
 
 
+def bench_conditioned(batch: int = 8, frames: int = 256) -> dict:
+    """complete_vocoder path: embeddings auto-extracted from the mel by
+    ECAPA + Emotion2Vec, then conditioned synthesis (BASELINE config 3/4)."""
+    from hifigan_tpu.models.vocoder import ModifiedVocoder
+    from hifigan_tpu.models.generator import GeneratorConfig
+
+    model = ModifiedVocoder(GeneratorConfig(), dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    mel = jax.random.normal(rng, (batch, 80, frames))
+    params = model.init(rng, mel)
+    fwd = jax.jit(lambda p, m: model.apply(p, m)["waveform"])
+    dt = _time_fn(fwd, (params, mel))
+    audio_sec = batch * frames * HOP / SAMPLE_RATE
+    return {"rtf": audio_sec / dt, "ms_per_call": dt * 1e3}
+
+
+def bench_train_step(batch: int = 4, n_samples: int = 8192) -> dict:
+    """Full GAN training step: G + MPD/MSD + mel/FM losses + both
+    optimizer updates (BASELINE config 5)."""
+    from hifigan_tpu.train import TrainConfig, create_train_state, make_train_step
+
+    cfg = TrainConfig(warmup_steps=0)
+    state, vocoder, discs = create_train_state(
+        jax.random.PRNGKey(0), cfg,
+        mel_frames=n_samples // cfg.mel.hop_length, batch_size=batch,
+        dtype=jnp.bfloat16,
+    )
+    step = make_train_step(vocoder, discs, cfg, donate=False)
+    batch_d = {"audio": jax.random.normal(jax.random.PRNGKey(1), (batch, n_samples)) * 0.1}
+
+    def run(state_batch, audio):
+        _, metrics = step(state, {"audio": audio})
+        return metrics["generator_loss"]
+
+    from hifigan_tpu.utils import chained_time
+
+    dt = chained_time(lambda s, a: run(s, a), (0, batch_d["audio"]),
+                      n=4, perturb_arg=1)
+    audio_sec = batch * n_samples / 16_000
+    return {"steps_per_sec": 1.0 / dt, "ms_per_step": dt * 1e3,
+            "audio_sec_per_step": audio_sec}
+
+
 def main():
     results = {}
     flagship = bench_flagship()
     results["flagship_odconv_grc_film"] = flagship
-    try:
-        results["hifigan_v1"] = bench_hifigan_v1()
-    except Exception as e:  # keep the contract line even if extras fail
-        results["hifigan_v1"] = {"error": str(e)[:200]}
+    for name, fn in [("hifigan_v1", bench_hifigan_v1),
+                     ("conditioned_auto_embeddings", bench_conditioned),
+                     ("gan_train_step", bench_train_step)]:
+        try:
+            results[name] = fn()
+        except Exception as e:  # keep the contract line even if extras fail
+            results[name] = {"error": str(e)[:200]}
     print(json.dumps({"configs": results, "device": str(jax.devices()[0])}),
           file=sys.stderr)
     value = round(flagship["rtf"], 1)

@@ -453,27 +453,43 @@ class Generator(nn.Module):
 
 
 class _ResBlock1(nn.Module):
-    """HiFi-GAN V1 ResBlock (static convs, dilated + plain pairs)."""
+    """HiFi-GAN V1 ResBlock (static convs, dilated + plain pairs).
+
+    ``fold > 1``: operates on time-folded activations (kernels
+    transformed at trace time — ops/fold.py) so audio-rate small-channel
+    stages keep 128-lane tiles."""
 
     channels: int
     kernel_size: int
     dilations: Tuple[int, ...]
     leaky_slope: float = 0.1
+    fold: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        c, k = self.channels, self.kernel_size
+        c, k, F = self.channels, self.kernel_size, self.fold
+
+        def conv(h, w, b, dilation):
+            pad = (k - 1) * dilation // 2
+            if F > 1:
+                wf, lo, hi = fold_ops.fold_conv_kernel(w, F, padding=pad,
+                                                       dilation=dilation)
+                return conv_ops.conv1d(
+                    h, wf.astype(self.dtype),
+                    fold_ops.fold_channel_vector(b, F), padding=(lo, hi))
+            return conv_ops.conv1d(h, w.astype(self.dtype), b,
+                                   padding=pad, dilation=dilation)
+
         for j, d in enumerate(self.dilations):
             h = conv_ops.leaky_relu(x, self.leaky_slope)
             w1 = self.param(f"w1_{j}", nn.initializers.normal(0.01), (k, c, c), jnp.float32)
             b1 = self.param(f"b1_{j}", nn.initializers.zeros, (c,), jnp.float32)
-            h = conv_ops.conv1d(h, w1.astype(self.dtype), b1,
-                                padding=(k - 1) * d // 2, dilation=d)
+            h = conv(h, w1, b1, d)
             h = conv_ops.leaky_relu(h, self.leaky_slope)
             w2 = self.param(f"w2_{j}", nn.initializers.normal(0.01), (k, c, c), jnp.float32)
             b2 = self.param(f"b2_{j}", nn.initializers.zeros, (c,), jnp.float32)
-            h = conv_ops.conv1d(h, w2.astype(self.dtype), b2, padding=(k - 1) // 2)
+            h = conv(h, w2, b2, 1)
             x = x + h
         return x
 
@@ -510,12 +526,20 @@ class HiFiGANV1Generator(nn.Module):
             b = self.param(f"up_{i}_bias", nn.initializers.zeros, (out_ch,), jnp.float32)
             x = conv_ops.conv_transpose1d(x, w.astype(self.dtype), b, stride=f, padding=f // 2)
             ch = out_ch
+            # time-fold the resblocks when channels drop below 128 lanes
+            T_cur = x.shape[1]
+            fold = max(1, 128 // ch)
+            fold = fold if (fold > 1 and T_cur % fold == 0) else 1
+            if fold > 1:
+                x = fold_ops.fold_time(x, fold)
             acc = None
             for k, dils in zip(self.resblock_kernel_sizes, self.resblock_dilations):
-                h = _ResBlock1(ch, k, dils, self.leaky_slope, self.dtype,
+                h = _ResBlock1(ch, k, dils, self.leaky_slope, fold, self.dtype,
                                name=f"res_{i}_{k}")(x)
                 acc = h if acc is None else acc + h
             x = acc / len(self.resblock_kernel_sizes)
+            if fold > 1:
+                x = fold_ops.unfold_time(x, fold)
         x = conv_ops.leaky_relu(x, self.leaky_slope)
         w_out = self.param("output_kernel", nn.initializers.normal(0.01), (7, ch, 1), jnp.float32)
         b_out = self.param("output_bias", nn.initializers.zeros, (1,), jnp.float32)

@@ -17,11 +17,13 @@ Two families:
   - forward conv:  gather k static strided slices of the padded input
     (``extract_patches_1d``) and contract patches ``[B,T,k,Cin]`` with
     per-sample kernels ``[B,k,Cin,Cout]`` in one einsum → MXU.
-  - transposed conv (the generator's upsampler): one einsum
-    ``[B,T,Cin] x [B,Cin,Cout,k] -> [B,T,Cout,k]`` followed by a static
-    **overlap-add** with hop = stride.  For the generator's kernels
-    (k = 2·f, stride f, pad f//2 — ``/root/reference/hifigan_modified/
-    generator.py:226-234``) the overlap-add is exactly two shifted adds.
+  - transposed conv (the generator's upsampler): a **polyphase**
+    decomposition — the op becomes one batched matmul
+    ``[B,T,|D|·Cin] @ [B,|D|·Cin, f·Cout]`` over a handful of shifted
+    input copies, whose output lands directly in time-folded layout
+    (see ``_polyphase_kernel`` / ``folded_polyphase_kernel``).  For the
+    generator's kernels (k = 2·f, stride f, pad f//2 —
+    ``/root/reference/hifigan_modified/generator.py:226-234``) |D| = 2.
 
   Both are single large contractions with static shapes — no Python
   loops over kernel banks or groups survive into the compiled program.
@@ -78,6 +80,10 @@ def conv1d(
         pad = [padding]
     else:
         pad = padding
+    # NB: no preferred_element_type here — conv_general_dilated's
+    # gradient transpose mismatches dtypes under bf16 when the output is
+    # promoted (fp32 cotangent vs bf16 kernel); the MXU accumulates
+    # bf16 convs in fp32 internally regardless.
     y = lax.conv_general_dilated(
         x,
         w,
@@ -86,10 +92,9 @@ def conv1d(
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
     )
     if b is not None:
-        y = y + b
+        y = y + b.astype(y.dtype)
     return y.astype(x.dtype)
 
 
@@ -114,10 +119,9 @@ def conv2d(
         window_strides=strides,
         padding=pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
     if b is not None:
-        y = y + b
+        y = y + b.astype(y.dtype)
     return y.astype(x.dtype)
 
 

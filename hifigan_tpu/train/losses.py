@@ -31,11 +31,16 @@ Array = jax.Array
 
 @dataclass(frozen=True)
 class LossWeights:
-    """Defaults per reference ``complete_vocoder.py:46-47``."""
+    """Defaults per reference ``complete_vocoder.py:46-47``.  The
+    alternative trainer profile (``conditioned_hifigan.py:245-250``) is
+    feature 45 / mel 45 / adversarial 1 with hinge adversarial loss —
+    select via ``LossWeights(feature_matching=45.0, adversarial_type="hinge")``."""
 
     feature_matching: float = 10.0
     mel: float = 45.0
     adversarial: float = 1.0
+    multi_res_stft: float = 0.0  # optional auxiliary loss (ops/stft.py)
+    adversarial_type: str = "lsgan"  # "lsgan" | "hinge"
 
 
 def _mse_to(outputs: List[Array], target: float) -> Array:
@@ -45,13 +50,30 @@ def _mse_to(outputs: List[Array], target: float) -> Array:
     return total
 
 
-def generator_adversarial_loss(fake_outputs: List[Array]) -> Array:
-    """Σ heads MSE(fake, 1)."""
+def generator_adversarial_loss(
+    fake_outputs: List[Array], kind: str = "lsgan"
+) -> Array:
+    """LSGAN: Σ heads MSE(fake, 1); hinge: Σ heads −mean(fake)
+    (the conditioned_hifigan trainer's hinge loss, :210-299)."""
+    if kind == "hinge":
+        total = 0.0
+        for o in fake_outputs:
+            total = total - jnp.mean(o.astype(jnp.float32))
+        return total
     return _mse_to(fake_outputs, 1.0)
 
 
-def discriminator_loss(real_outputs: List[Array], fake_outputs: List[Array]) -> Array:
-    """Σ heads MSE(real, 1) + MSE(fake, 0)."""
+def discriminator_loss(
+    real_outputs: List[Array], fake_outputs: List[Array], kind: str = "lsgan"
+) -> Array:
+    """LSGAN: Σ MSE(real,1)+MSE(fake,0); hinge: Σ mean(relu(1−real)) +
+    mean(relu(1+fake))."""
+    if kind == "hinge":
+        total = 0.0
+        for r, f in zip(real_outputs, fake_outputs):
+            total = total + jnp.mean(jax.nn.relu(1.0 - r.astype(jnp.float32)))
+            total = total + jnp.mean(jax.nn.relu(1.0 + f.astype(jnp.float32)))
+        return total
     return _mse_to(real_outputs, 1.0) + _mse_to(fake_outputs, 0.0)
 
 

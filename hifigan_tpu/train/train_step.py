@@ -61,6 +61,7 @@ def make_train_step(
     *,
     deep_feature_matching: bool = False,
     donate: bool = True,
+    remat: bool = False,
 ) -> Callable[[GanTrainState, dict], tuple[GanTrainState, dict]]:
     """Build the jitted train step.
 
@@ -77,6 +78,11 @@ def make_train_step(
         else:
             out = vocoder.apply(gen_params, mel)
         return out["waveform"][:, 0, :]  # [B, T_samples]
+
+    if remat:
+        # rematerialise the generator forward in the G-grad pass
+        # (trades FLOPs for activation memory — SURVEY build guidance)
+        generate = jax.checkpoint(generate, static_argnums=())
 
     def step(state: GanTrainState, batch: dict) -> tuple[GanTrainState, dict]:
         real = batch["audio"]
@@ -98,6 +104,7 @@ def make_train_step(
             loss = discriminator_loss(
                 out_real["mpd_outputs"] + out_real["msd_outputs"],
                 out_fake["mpd_outputs"] + out_fake["msd_outputs"],
+                w.adversarial_type,
             )
             return loss
 
@@ -111,7 +118,8 @@ def make_train_step(
             out_real = discs.apply(disc_params, real)
             out_fake = discs.apply(disc_params, fake_g)
             adv = generator_adversarial_loss(
-                out_fake["mpd_outputs"] + out_fake["msd_outputs"]
+                out_fake["mpd_outputs"] + out_fake["msd_outputs"],
+                w.adversarial_type,
             )
             if deep_feature_matching:
                 fm = feature_matching_loss(
@@ -126,7 +134,14 @@ def make_train_step(
             gen_mel = audio_to_mel(fake_g, cfg)
             mel_loss = mel_l1_loss(gen_mel, mel)
             total = w.adversarial * adv + w.feature_matching * fm + w.mel * mel_loss
-            return total, {"adv_loss": adv, "fm_loss": fm, "mel_loss": mel_loss}
+            aux = {"adv_loss": adv, "fm_loss": fm, "mel_loss": mel_loss}
+            if w.multi_res_stft > 0:
+                from hifigan_tpu.ops.stft import multi_resolution_stft_loss
+
+                stft_loss = multi_resolution_stft_loss(fake_g, real)
+                total = total + w.multi_res_stft * stft_loss
+                aux["stft_loss"] = stft_loss
+            return total, aux
 
         (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
             state.gen_params

@@ -101,3 +101,34 @@ def test_silence_removal():
     trimmed = remove_silence(audio, sr)
     assert len(trimmed) < len(audio)
     assert len(trimmed) >= len(loud) * 0.9
+
+
+def test_hinge_losses(rng):
+    import jax.numpy as jnp
+    from hifigan_tpu.train.losses import (
+        discriminator_loss,
+        generator_adversarial_loss,
+    )
+
+    fake = [jnp.asarray(rng.standard_normal((2, 5)).astype(np.float32))]
+    real = [jnp.asarray(rng.standard_normal((2, 5)).astype(np.float32))]
+    g = generator_adversarial_loss(fake, "hinge")
+    assert np.isfinite(float(g))
+    d = discriminator_loss(real, fake, "hinge")
+    assert float(d) >= 0.0
+    # perfect discriminator (real>=1, fake<=-1) has zero hinge loss
+    d0 = discriminator_loss([jnp.ones((2, 5)) * 2], [jnp.ones((2, 5)) * -2], "hinge")
+    assert float(d0) == 0.0
+
+
+def test_stage_timer():
+    import time as _t
+    from hifigan_tpu.utils import StageTimer
+
+    t = StageTimer()
+    with t.stage("a"):
+        _t.sleep(0.01)
+    with t.stage("a"):
+        _t.sleep(0.01)
+    s = t.summary()
+    assert s["a"]["count"] == 2 and s["a"]["mean_ms"] >= 5

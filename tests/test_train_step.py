@@ -118,3 +118,20 @@ def test_tensor_parallel_sharding_applies():
     orig = jax.tree_util.tree_leaves(state.gen_params)
     for a, b in zip(orig, leaves):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bf16_train_step(tiny_setup):
+    """Regression: the GAN step must trace and run under bfloat16
+    (conv gradient transposes used to mismatch dtypes)."""
+    state, vocoder, discs = create_train_state(
+        jax.random.PRNGKey(0), TINY, mel_frames=16, batch_size=2,
+        dtype=jnp.bfloat16,
+    )
+    step = make_train_step(vocoder, discs, TINY, donate=False)
+    new_state, metrics = step(state, _batch())
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    # remat variant also traces
+    step_r = make_train_step(vocoder, discs, TINY, donate=False, remat=True)
+    _, metrics_r = step_r(state, _batch())
+    assert np.isfinite(float(metrics_r["generator_loss"]))
