@@ -175,8 +175,8 @@ class ODConvTranspose1d(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (self.num_kernels, self.out_features), jnp.float32
         )
-        w = od_ops.mix_kernels(kernels, attn.kernel)  # [B, Cin, Cout, k]
-        w = w * attn.spatial[:, None, None, :]
+        w = od_ops.mix_kernels(kernels, attn.kernel, self.dtype)  # [B, Cin, Cout, k]
+        w = w * attn.spatial[:, None, None, :].astype(self.dtype)
         b = od_ops.mix_bias(bias, attn.kernel)
         exact = self.kernel_size == 2 * self.padding + self.stride
         if exact:
@@ -229,8 +229,8 @@ class ODConv1d(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (self.num_kernels, self.out_features), jnp.float32
         )
-        w = od_ops.mix_kernels(kernels, attn.kernel)  # [B, k, Cin, Cout]
-        w = w * attn.spatial[:, :, None, None]
+        w = od_ops.mix_kernels(kernels, attn.kernel, self.dtype)  # [B, k, Cin, Cout]
+        w = w * attn.spatial[:, :, None, None].astype(self.dtype)
         b = od_ops.mix_bias(bias, attn.kernel)
         x = (x * attn.in_channel[:, None, :]).astype(self.dtype)
         y = conv_ops.dynamic_conv1d(

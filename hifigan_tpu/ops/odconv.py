@@ -71,14 +71,19 @@ def od_attention(
     )
 
 
-def mix_kernels(kernels: Array, kernel_attn: Array) -> Array:
-    """``[K, ...] , [B, K] -> [B, ...]`` attention-weighted kernel-bank mix."""
-    kflat = kernels.reshape(kernels.shape[0], -1)
+def mix_kernels(kernels: Array, kernel_attn: Array, dtype=None) -> Array:
+    """``[K, ...] , [B, K] -> [B, ...]`` attention-weighted kernel-bank mix.
+
+    ``dtype`` (e.g. bfloat16) keeps the mixed per-sample kernel — the
+    largest intermediate of the dynamic conv — in the compute dtype,
+    halving kernel-prep HBM traffic; accumulation stays fp32."""
+    dtype = dtype or kernels.dtype
+    kflat = kernels.reshape(kernels.shape[0], -1).astype(dtype)
     mixed = jnp.einsum(
-        "bk,kp->bp", kernel_attn.astype(jnp.float32), kflat.astype(jnp.float32),
+        "bk,kp->bp", kernel_attn.astype(dtype), kflat,
         preferred_element_type=jnp.float32,
     )
-    return mixed.reshape((kernel_attn.shape[0],) + kernels.shape[1:])
+    return mixed.reshape((kernel_attn.shape[0],) + kernels.shape[1:]).astype(dtype)
 
 
 def mix_bias(bias: Array, kernel_attn: Array) -> Array:
