@@ -24,8 +24,7 @@ from __future__ import annotations
 
 import logging
 import os
-from collections import deque
-from typing import Callable, Dict, List, Optional
+from typing import Callable, List, Optional
 
 import numpy as np
 

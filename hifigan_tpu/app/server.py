@@ -26,8 +26,6 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
-import numpy as np
-
 from hifigan_tpu.app.audio import float_to_wav_bytes, wav_bytes_to_float
 from hifigan_tpu.app.config import Settings, settings as default_settings
 from hifigan_tpu.app.engine import RealTimeTranslationEngine

@@ -158,7 +158,7 @@ def cmd_eval(args):
     from hifigan_tpu.eval.evaluator import StreamEvaluator, create_evaluation_report
     from hifigan_tpu.models.embeddings import EcapaTdnn, Emotion2Vec
     from hifigan_tpu.models.generator import Generator, GeneratorConfig
-    from hifigan_tpu.ops.stft import MelConfig, log_mel_spectrogram
+    from hifigan_tpu.ops.stft import MelConfig
     from hifigan_tpu.train import TrainConfig, create_train_state
     from hifigan_tpu.train.checkpoint import CheckpointManager
     from hifigan_tpu.train.data import SyntheticSpeechDataset
@@ -228,7 +228,7 @@ def cmd_simulate(args):
         WaitkS2STAgent,
         WaitkS2TTAgent,
     )
-    from hifigan_tpu.streaming.runtime import S2STInference, S2STInferenceConfig
+    from hifigan_tpu.streaming.runtime import S2STInference
 
     cfg = StreamSpeechConfig()
     if args.tiny:

@@ -34,8 +34,8 @@ dynamic convs lower to batched einsums on the MXU
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Sequence, Tuple
+from dataclasses import dataclass
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -37,8 +37,6 @@ activations ``[B, T, C]`` (channels-last: lane dim = channels),
 
 from __future__ import annotations
 
-import math
-from functools import partial
 from typing import Sequence
 
 import jax

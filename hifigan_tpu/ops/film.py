@@ -15,7 +15,6 @@ matmul epilogue; no Pallas needed.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 Array = jax.Array
 

@@ -17,14 +17,11 @@ single ``[n_freq, n_mels]`` matmul (MXU).
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 Array = jax.Array
 

@@ -18,12 +18,10 @@ bucketed jitted programs of :class:`~hifigan_tpu.streaming.runtime.S2STInference
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
 from typing import Callable, List, Optional
 
 import numpy as np
 
-from hifigan_tpu.streaming.decode import trim_to_whole_words
 from hifigan_tpu.streaming.features import FbankConfig, OnlineFbank
 from hifigan_tpu.streaming.harness import (
     AgentStates,

@@ -23,7 +23,7 @@ a truncation, so every prefix length reuses one compiled program.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, List, Optional, Tuple
+from typing import Callable, List, Tuple
 
 import numpy as np
 

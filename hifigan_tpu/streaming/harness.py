@@ -16,7 +16,7 @@ dependency.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Callable, List, Optional, Protocol, Union
+from typing import List, Protocol, Union
 
 import numpy as np
 

@@ -23,7 +23,6 @@ recompute semantics, just bucketed).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import List, Optional, Sequence
 
 import jax
@@ -33,7 +32,6 @@ import numpy as np
 from hifigan_tpu.models.code_vocoder import CodeVocoder
 from hifigan_tpu.models.streamspeech import StreamSpeechS2ST
 from hifigan_tpu.streaming.decode import ctc_greedy_collapse, ctc_prefix_frames
-from hifigan_tpu.streaming.features import FbankConfig, OnlineFbank
 
 Array = jax.Array
 

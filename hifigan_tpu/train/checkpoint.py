@@ -14,12 +14,10 @@ with step-based retention (``save_steps`` cadence per
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
-from typing import Any, Optional
+from typing import Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 from hifigan_tpu.train.state import GanTrainState

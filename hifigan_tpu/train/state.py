@@ -12,7 +12,7 @@ Optimizer defaults follow ``/root/reference/configs/train_config.yaml``
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Optional
+from typing import Any
 
 import flax.struct
 import jax

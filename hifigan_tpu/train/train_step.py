@@ -24,8 +24,7 @@ The batch carries raw audio only; mel targets are computed **on device**
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
