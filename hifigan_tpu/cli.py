@@ -129,7 +129,17 @@ def cmd_train(args):
                 for batch in loader.epoch(epoch, chunk):
                     if mesh is not None:
                         batch = shard_batch(batch, mesh)
-                    state, metrics = step_fn(state, batch)
+                    try:
+                        state, metrics = step_fn(state, batch)
+                    except Exception:
+                        # crude fault tolerance (reference incremental
+                        # training idiom, SURVEY.md §5.3): restore the
+                        # last checkpoint and skip the failing batch
+                        if not args.auto_recover or mgr.latest_step() is None:
+                            raise
+                        log.exception("step failed; restoring last checkpoint")
+                        state = mgr.restore(state)
+                        continue
                     steps_done += 1
                     if steps_done % args.log_every == 0:
                         m = {k: float(v) for k, v in metrics.items()}
@@ -144,11 +154,39 @@ def cmd_train(args):
                     if args.max_steps and steps_done >= args.max_steps:
                         mgr.save(state, force=True)
                         mgr.wait()
+                        _write_training_summary(args, cfg, steps_done,
+                                                time.time() - t_start)
                         log.info("done at step %d", steps_done)
                         return
                 mgr.save(state, force=True)  # per-chunk checkpoint (incremental mode)
     mgr.save(state, force=True)
     mgr.wait()
+    _write_training_summary(args, cfg, steps_done, time.time() - t_start)
+
+
+def _write_training_summary(args, cfg, steps, wall_s):
+    """Run-provenance record (reference training_summary.json parity)."""
+    import jax
+
+    summary = {
+        "completed_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "wall_seconds": round(wall_s, 1),
+        "steps": steps,
+        "device": str(jax.devices()[0]),
+        "n_devices": len(jax.devices()),
+        "batch_size": args.batch_size,
+        "learning_rate": cfg.learning_rate,
+        "betas": [cfg.beta1, cfg.beta2],
+        "loss_weights": {
+            "adversarial": cfg.loss_weights.adversarial,
+            "feature_matching": cfg.loss_weights.feature_matching,
+            "mel": cfg.loss_weights.mel,
+        },
+        "data_dir": args.data_dir or "synthetic",
+        "checkpoint_dir": args.checkpoint_dir,
+    }
+    with open(os.path.join(args.checkpoint_dir, "training_summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
 
 
 def cmd_eval(args):
@@ -316,6 +354,8 @@ def main(argv=None):
     t.add_argument("--bf16", action="store_true")
     t.add_argument("--tiny", action="store_true",
                    help="tiny model/segment sizes for smoke runs")
+    t.add_argument("--auto_recover", action="store_true",
+                   help="on step failure, restore last checkpoint and continue")
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("eval", help="run the evaluation suite")

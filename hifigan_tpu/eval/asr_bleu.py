@@ -29,6 +29,20 @@ import numpy as np
 from hifigan_tpu.eval.metrics import corpus_bleu
 
 
+def postprocess_hokkien(text: str) -> str:
+    """Tâi-lô romanisation normalisation for Hokkien ASR output
+    (reference ``compute_asr_bleu.py:10-33``): lowercase, split
+    hyphenated syllables, strip tone digits so BLEU compares syllables."""
+    import re as _re
+
+    text = text.lower().replace("-", " ")
+    text = _re.sub(r"(\d)", r" ", text)
+    return _re.sub(r"\s+", " ", text).strip()
+
+
+TEXT_POSTPROCESSORS = {"hok": postprocess_hokkien}
+
+
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
     """Minimal stdlib WAV reader (16-bit PCM / 32-bit float)."""
     with wave.open(path, "rb") as w:
@@ -106,13 +120,14 @@ def run_asr_bleu(
                 f"no ASR model reachable for lang={lang}; pass transcriber="
             )
     pairs = compose_eval_data(audio_dirpath, reference_path)
+    post = TEXT_POSTPROCESSORS.get(lang, lambda t: t)
     hyps, refs = [], []
     for path, ref in pairs:
         audio, sr = read_wav(path)
         if rm_silence:
             audio = remove_silence(audio, sr)
-        hyps.append(transcriber(audio))
-        refs.append(ref.strip().lower())
+        hyps.append(post(transcriber(audio)))
+        refs.append(post(ref.strip().lower()))
     bleu = corpus_bleu(hyps, refs)
     if transcripts_path:
         with open(transcripts_path, "w") as f:

@@ -62,6 +62,7 @@ def _grc_kernel(
     b = pl.program_id(0)
     u = pl.program_id(1)
     n_tiles = pl.num_programs(1)
+    n_total = pl.num_programs(0) * n_tiles
     C = pre_out_ref.shape[-1]
     # DMA slices must be sublane-aligned (multiples of 8 rows): use an
     # 8-aligned halo and placement offset; all offsets stay multiples of 8.
@@ -69,21 +70,38 @@ def _grc_kernel(
     P = -(-lo // 8) * 8  # aligned placement offset of the loaded window
     W = min(tile + 2 * halo_al, u_total)
 
-    start = u * tile - halo_al
-    clamped = pl.multiple_of(jnp.clip(start, 0, u_total - W), 8)
+    def window_dma(slot, b_idx, u_idx):
+        """DMA the haloed window of grid step (b_idx, u_idx) into buffer
+        ``slot``.  Loaded row r lives at win[slot, P + r - clamped];
+        margins hold garbage masked per tap below."""
+        start = u_idx * tile - halo_al
+        clamped = pl.multiple_of(jnp.clip(start, 0, u_total - W), 8)
+        return pltpu.make_async_copy(
+            pre_in_ref.at[b_idx, pl.ds(clamped, W), :],
+            win_ref.at[slot, pl.ds(P, W), :],
+            sem.at[slot],
+        )
 
-    # loaded row r lives at win[P + r - clamped]; margins hold garbage
-    # that is masked out per tap below.
-    copy = pltpu.make_async_copy(
-        pre_in_ref.at[b, pl.ds(clamped, W), :],
-        win_ref.at[pl.ds(P, W), :],
-        sem,
-    )
-    copy.start()
-    copy.wait()
+    # double buffering: compute on this step's slot while the next grid
+    # step's window streams in (scratch persists across sequential steps)
+    g = b * n_tiles + u
+    slot = jax.lax.rem(g, 2)
+    nxt_slot = jax.lax.rem(g + 1, 2)
+
+    @pl.when(g == 0)
+    def _():
+        window_dma(0, b, u).start()
+
+    @pl.when(g + 1 < n_total)
+    def _():
+        u_next = jax.lax.rem(u + 1, n_tiles)
+        b_next = b + jnp.where(u + 1 == n_tiles, 1, 0)
+        window_dma(nxt_slot, b_next, u_next).start()
+
+    window_dma(slot, b, u).wait()
 
     # normalise + activate the whole window (garbage margins masked later)
-    xw = win_ref[:].astype(jnp.float32)
+    xw = win_ref[slot].astype(jnp.float32)
     xn = (xw - mean_ref[0]) * inv_ref[0]
     xn = xn * gamma_ref[0] + beta_ref[0]
     slope = slope_ref[0, 0]
@@ -195,8 +213,8 @@ def fused_grc_step(
             jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((S, C), pre_in.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, S, C), pre_in.dtype),  # double-buffered windows
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(mean[:, None, :], inv[:, None, :], gamma[:, None, :], beta[:, None, :],
