@@ -175,18 +175,38 @@ class ODConvTranspose1d(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (self.num_kernels, self.out_features), jnp.float32
         )
-        w = od_ops.mix_kernels(kernels, attn.kernel, self.dtype)  # [B, Cin, Cout, k]
-        w = w * attn.spatial[:, None, None, :].astype(self.dtype)
         b = od_ops.mix_bias(bias, attn.kernel)
         exact = self.kernel_size == 2 * self.padding + self.stride
         if exact:
             # folded path (fold_in == 1 included): output stays time-folded
-            # [B, U, fold_in*stride*Cout] — lanes never shrink below 128
+            # [B, U, fold_in*stride*Cout] — lanes never shrink below 128.
+            # The polyphase transform is applied to the K *static* banks
+            # (no batch dim), then the per-sample kernel mix and the
+            # spatial (tap) attention happen directly in polyphase space —
+            # this avoids materialising + transposing a per-batch
+            # [B, Cin, Cout, k] kernel tensor every call.
+            wp_banks, deltas = conv_ops.folded_polyphase_kernel(
+                kernels.astype(self.dtype), self.stride, self.padding, F
+            )  # [K, |D|*F*Cin, F*f*Cout]
+            w_poly = jnp.einsum(
+                "bk,kpq->bpq", attn.kernel.astype(self.dtype), wp_banks,
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)
+            tap, valid, _ = conv_ops.folded_tap_map(
+                self.kernel_size, self.stride, self.padding, F
+            )
+            sp = attn.spatial.astype(self.dtype)[:, jnp.asarray(tap)]  # [B, DQ, CR]
+            sp = sp * jnp.asarray(valid, dtype=self.dtype)
+            Bn, P, Q = w_poly.shape
+            dq, cr = tap.shape
+            w_poly = (
+                w_poly.reshape(Bn, dq, self.in_features, cr, self.out_features)
+                * sp[:, :, None, :, None]
+            ).reshape(Bn, P, Q)
             ic = jnp.tile(attn.in_channel, (1, F)) if F > 1 else attn.in_channel
             x = (x * ic[:, None, :]).astype(self.dtype)
-            y = conv_ops.folded_dynamic_conv_transpose1d(
-                x, w.astype(self.dtype), b,
-                stride=self.stride, padding=self.padding, fold_in=F,
+            y = conv_ops.folded_polyphase_apply(
+                x, w_poly, deltas, b, stride=self.stride, fold_in=F
             )
             oc = jnp.tile(attn.out_channel, (1, F * self.stride))
             y = (y * oc[:, None, :]).astype(self.dtype)
@@ -195,6 +215,8 @@ class ODConvTranspose1d(nn.Module):
                 y = y.reshape(B, U * F * self.stride, self.out_features)
             return y
         assert F == 1, "folded input requires exact-length upsampling"
+        w = od_ops.mix_kernels(kernels, attn.kernel, self.dtype)  # [B, Cin, Cout, k]
+        w = w * attn.spatial[:, None, None, :].astype(self.dtype)
         x = (x * attn.in_channel[:, None, :]).astype(self.dtype)
         y = conv_ops.dynamic_conv_transpose1d(
             x, w.astype(self.dtype), b, stride=self.stride, padding=self.padding

@@ -354,6 +354,76 @@ def folded_polyphase_kernel(
     return jnp.concatenate(blocks, axis=-2), deltas
 
 
+def folded_tap_map(
+    k: int, stride: int, padding: int, fold_in: int
+) -> tuple[np.ndarray, np.ndarray, list[int]]:
+    """Tap-index map of the folded polyphase operator.
+
+    Each entry of the folded kernel ``[|Δ|·Fin·Cin, Fin·f·Cout]``
+    corresponds to one original tap τ (independent of the channel
+    indices): ``τ(δ, q, c, r) = (c − δ·Fin − q)·f + r + padding``.
+    Returns (tap ``[|Δ|·Fin, Fin·f]``, valid mask, shifts Δ) — used to
+    apply per-sample *spatial* (tap) attention directly in polyphase
+    space without re-deriving the kernel per batch element.
+    """
+    f = stride
+    fin = fold_in
+    deltas = []
+    for delta in range(-k // (f * fin) - 2, k // (f * fin) + 3):
+        js = (np.arange(fin)[:, None, None] - delta * fin
+              - np.arange(fin)[None, :, None]) * f + np.arange(f)[None, None, :] + padding
+        if ((js >= 0) & (js < k)).any():
+            deltas.append(delta)
+    tap = np.zeros((len(deltas) * fin, fin * f), np.int64)
+    valid = np.zeros_like(tap, dtype=bool)
+    for di, delta in enumerate(deltas):
+        for q in range(fin):
+            for c in range(fin):
+                for r in range(f):
+                    j = (c - delta * fin - q) * f + r + padding
+                    if 0 <= j < k:
+                        tap[di * fin + q, c * f + r] = j
+                        valid[di * fin + q, c * f + r] = True
+    return tap, valid, deltas
+
+
+def folded_polyphase_apply(
+    x_folded: Array,
+    w_poly: Array,
+    deltas: list[int],
+    b: Array | None = None,
+    *,
+    stride: int,
+    fold_in: int,
+) -> Array:
+    """Apply a prebuilt folded polyphase operator.
+
+    Args:
+      x_folded: ``[B, U, Fin·Cin]``;
+      w_poly: ``[B, |Δ|·Fin·Cin, Fin·f·Cout]`` (or unbatched 2-D).
+    """
+    B, U, FC = x_folded.shape
+    stacked = []
+    for d in deltas:
+        # xs[u] = X[u + d] (zero beyond the sequence)
+        if d > 0:
+            xs = jnp.pad(x_folded, ((0, 0), (0, d), (0, 0)))[:, d:]
+        elif d < 0:
+            xs = jnp.pad(x_folded, ((0, 0), (-d, 0), (0, 0)))[:, :U]
+        else:
+            xs = x_folded
+        stacked.append(xs)
+    xcat = jnp.concatenate(stacked, axis=-1)
+    eq = "bup,bpq->buq" if w_poly.ndim == 3 else "bup,pq->buq"
+    y = jnp.einsum(eq, xcat, w_poly.astype(x_folded.dtype),
+                   preferred_element_type=jnp.float32)
+    if b is not None:
+        fout = fold_in * stride
+        bb = jnp.tile(b, (1, fout) if b.ndim == 2 else (fout,))
+        y = y + (bb[:, None, :] if b.ndim == 2 else bb)
+    return y.astype(x_folded.dtype)
+
+
 def folded_dynamic_conv_transpose1d(
     x_folded: Array,
     w: Array,
@@ -378,25 +448,9 @@ def folded_dynamic_conv_transpose1d(
         f"got k={k}, p={padding}, f={stride}"
     )
     w_poly, deltas = folded_polyphase_kernel(w, stride, padding, fold_in)
-    B, U, FC = x_folded.shape
-    stacked = []
-    for d in deltas:
-        # xs[u] = X[u + d] (zero beyond the sequence)
-        if d > 0:
-            xs = jnp.pad(x_folded, ((0, 0), (0, d), (0, 0)))[:, d:]
-        elif d < 0:
-            xs = jnp.pad(x_folded, ((0, 0), (-d, 0), (0, 0)))[:, :U]
-        else:
-            xs = x_folded
-        stacked.append(xs)
-    xcat = jnp.concatenate(stacked, axis=-1)
-    y = jnp.einsum("bup,bpq->buq", xcat, w_poly.astype(x_folded.dtype),
-                   preferred_element_type=jnp.float32)
-    if b is not None:
-        fout = fold_in * stride
-        bb = jnp.tile(b, (1, fout) if b.ndim == 2 else (fout,))
-        y = y + (bb[:, None, :] if b.ndim == 2 else bb)
-    return y.astype(x_folded.dtype)
+    return folded_polyphase_apply(
+        x_folded, w_poly, deltas, b, stride=stride, fold_in=fold_in
+    )
 
 
 def conv1d_via_matmul(

@@ -92,3 +92,53 @@ def test_lora_block_matrix_matches_reference_loop(rng):
         xg = x[:, :, g * (C // G):(g + 1) * (C // G)]
         ref[:, :, g * (C // G):(g + 1) * (C // G)] = (xg @ a.T) @ b.T
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("fin,f", [(1, 4), (2, 2), (4, 2)])
+def test_folded_dynamic_conv_transpose_matches_unfolded(rng, fin, f):
+    """folded path == unfolded dynamic transposed conv (exact k=2p+f)."""
+    B, U, Cin, Cout = 2, 8, 6, 4
+    k, pad = 2 * f, f // 2
+    T = U * fin
+    x = jnp.asarray(rng.standard_normal((B, T, Cin), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((B, Cin, Cout, k), dtype=np.float32))
+    ref = conv_ops.dynamic_conv_transpose1d(x, w, stride=f, padding=pad)
+    xf = fold_ops.fold_time(x, fin) if fin > 1 else x
+    yf = conv_ops.folded_dynamic_conv_transpose1d(
+        xf, w, stride=f, padding=pad, fold_in=fin)
+    y = yf.reshape(B, T * f, Cout)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("fin,f", [(1, 4), (2, 2)])
+def test_polyphase_space_spatial_attention_matches(rng, fin, f):
+    """Mixing K banks + per-tap (spatial) scaling in polyphase space must
+    equal building the per-sample kernel first (the ODConvTranspose1d
+    fast path vs the definitional path)."""
+    B, K, Cin, Cout = 2, 4, 6, 4
+    k, pad = 2 * f, f // 2
+    U = 8
+    T = U * fin
+    x = jnp.asarray(rng.standard_normal((B, T, Cin), dtype=np.float32))
+    banks = jnp.asarray(rng.standard_normal((K, Cin, Cout, k), dtype=np.float32))
+    a = jnp.asarray(rng.random((B, K), dtype=np.float32))
+    sp = jnp.asarray(rng.random((B, k), dtype=np.float32))
+
+    # definitional: per-sample kernel, then folded conv
+    w_b = jnp.einsum("bk,kiod->biod", a, banks) * sp[:, None, None, :]
+    xf = fold_ops.fold_time(x, fin) if fin > 1 else x
+    ref = conv_ops.folded_dynamic_conv_transpose1d(
+        xf, w_b, stride=f, padding=pad, fold_in=fin)
+
+    # fast path: transform banks, mix + tap-scale in polyphase space
+    wp_banks, deltas = conv_ops.folded_polyphase_kernel(banks, f, pad, fin)
+    w_poly = jnp.einsum("bk,kpq->bpq", a, wp_banks)
+    tap, valid, deltas2 = conv_ops.folded_tap_map(k, f, pad, fin)
+    assert deltas == deltas2
+    spm = sp[:, jnp.asarray(tap)] * jnp.asarray(valid, np.float32)
+    P, Q = w_poly.shape[1:]
+    dq, cr = tap.shape
+    w_poly = (w_poly.reshape(B, dq, Cin, cr, Cout) * spm[:, :, None, :, None]
+              ).reshape(B, P, Q)
+    out = conv_ops.folded_polyphase_apply(xf, w_poly, deltas, stride=f, fold_in=fin)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
