@@ -70,7 +70,8 @@ class StandaloneGRCBlock(nn.Module):
         h = conv_ops.conv1d(h, wp.astype(self.dtype), bp, padding=0)
         gamma = self.param("norm_gamma", nn.initializers.ones, (cout,), jnp.float32)
         beta = self.param("norm_beta", nn.initializers.zeros, (cout,), jnp.float32)
-        h = lora_ops.group_norm(h, gamma, beta, min(g, cout))
+        norm_groups = min(8, cout // 4) if cout >= 4 else 1  # reference :28-29
+        h = lora_ops.group_norm(h, gamma, beta, norm_groups)
         h = jax.nn.silu(h.astype(jnp.float32)).astype(self.dtype)
         if cin != cout:
             wr = self.param("residual_proj", nn.initializers.normal(0.02),

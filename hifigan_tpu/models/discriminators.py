@@ -41,15 +41,18 @@ class PeriodDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, wav: Array) -> Tuple[Array, List[Array]]:
-        # wav: [B, T] → [B, p, T/p, 1] (channels-last 2-D image)
+        # wav: [B, T] → [B, p, T/p, 1] (channels-last 2-D image).
+        # NB: the reference's ``view(B, C, period, T//period)``
+        # (discriminators.py:79) splits time into ``period`` CONTIGUOUS
+        # chunks — unlike canonical HiFi-GAN's periodic interleave
+        # ``view(B, C, T//p, p)``. We match the reference exactly
+        # (cross-tested in tests/test_reference_parity.py).
         B, T = wav.shape
         p = self.period
         if T % p:
             wav = jnp.pad(wav, ((0, 0), (0, p - T % p)))
             T = wav.shape[1]
-        x = wav.reshape(B, T // p, p, 1).transpose(0, 2, 1, 3).astype(self.dtype)
-        # reference reshapes (B, C, T) -> (B, C, period, T//period): row = phase,
-        # col = frame index; our [B, p, T/p, 1] matches that image.
+        x = wav.reshape(B, p, T // p, 1).astype(self.dtype)
         feats: List[Array] = []
         ch_in = 1
         for i, ch_out in enumerate(_STACK_CHANNELS):
