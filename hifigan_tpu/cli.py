@@ -123,8 +123,11 @@ def cmd_train(args):
     os.makedirs(args.checkpoint_dir, exist_ok=True)
     steps_done = int(state.step)
     t_start = time.time()
+    import itertools
+
+    epoch_iter = itertools.count() if args.max_steps else range(args.epochs)
     with open(metrics_path, "a") as mf:
-        for epoch in range(args.epochs):
+        for epoch in epoch_iter:
             for chunk in range(args.num_chunks):
                 for batch in loader.epoch(epoch, chunk):
                     if mesh is not None:
@@ -158,7 +161,9 @@ def cmd_train(args):
                                                 time.time() - t_start)
                         log.info("done at step %d", steps_done)
                         return
-                mgr.save(state, force=True)  # per-chunk checkpoint (incremental mode)
+                if args.num_chunks > 1:
+                    # per-chunk checkpoint (incremental mode)
+                    mgr.save(state, force=True)
     mgr.save(state, force=True)
     mgr.wait()
     _write_training_summary(args, cfg, steps_done, time.time() - t_start)

@@ -41,9 +41,14 @@ class CheckpointManager:
 
     def save(self, state: GanTrainState, *, metadata: Optional[dict] = None, force: bool = False) -> bool:
         step = int(state.step)
-        saved = self._mgr.save(
-            step, args=ocp.args.StandardSave(state), force=force
-        )
+        try:
+            saved = self._mgr.save(
+                step, args=ocp.args.StandardSave(state), force=force
+            )
+        except Exception as e:  # orbax StepAlreadyExistsError and kin
+            if "already exists" in str(e):
+                return False
+            raise
         if saved and metadata is not None:
             with open(os.path.join(self._dir, f"meta_{step}.json"), "w") as f:
                 json.dump(metadata, f, indent=2, default=str)

@@ -135,3 +135,17 @@ def test_bf16_train_step(tiny_setup):
     step_r = make_train_step(vocoder, discs, TINY, donate=False, remat=True)
     _, metrics_r = step_r(state, _batch())
     assert np.isfinite(float(metrics_r["generator_loss"]))
+
+
+def test_checkpoint_duplicate_save_is_noop(tmp_path, tiny_setup):
+    """Saving the same step twice (end-of-chunk + end-of-run force saves)
+    must be a no-op, not an orbax StepAlreadyExistsError."""
+    from hifigan_tpu.train.checkpoint import CheckpointManager
+
+    state, _, _ = tiny_setup
+    mgr = CheckpointManager(str(tmp_path))
+    assert mgr.save(state, force=True)
+    mgr.wait()
+    assert mgr.save(state, force=True) is False  # duplicate tolerated
+    assert mgr.latest_step() == int(state.step)
+    mgr.close()
