@@ -107,10 +107,16 @@ def cmd_train(args):
     )
     step_fn = make_train_step(vocoder, discs, cfg)
     n_dev = len(jax.devices())
+    # data-parallel degree must divide the batch
+    while n_dev > 1 and batch_size % n_dev:
+        n_dev -= 1
     mesh = None
     if n_dev > 1:
-        mesh = make_mesh(n_data=n_dev)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        mesh = make_mesh(n_data=n_dev, devices=jax.devices()[:n_dev])
         step_fn = make_sharded_train_step(step_fn, mesh)
+        state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
         log.info("data-parallel over %d devices", n_dev)
 
     mgr = CheckpointManager(args.checkpoint_dir, save_interval=args.save_steps)

@@ -1,0 +1,32 @@
+"""CLI smoke tests: train → resume → summary, and simulate (tiny)."""
+
+import json
+import os
+
+import pytest
+
+
+def test_cli_train_resume_and_summary(tmp_path):
+    from hifigan_tpu.cli import main
+
+    ckpt = str(tmp_path / "ckpt")
+    main(["train", "--tiny", "--batch_size", "2", "--max_steps", "2",
+          "--log_every", "1", "--checkpoint_dir", ckpt])
+    summary = json.load(open(os.path.join(ckpt, "training_summary.json")))
+    assert summary["steps"] == 2
+    metrics = [json.loads(l) for l in open(os.path.join(ckpt, "metrics.jsonl"))]
+    assert metrics and "generator_loss" in metrics[0]
+    # resume continues from step 2
+    main(["train", "--tiny", "--batch_size", "2", "--max_steps", "4",
+          "--log_every", "1", "--checkpoint_dir", ckpt, "--resume"])
+    summary = json.load(open(os.path.join(ckpt, "training_summary.json")))
+    assert summary["steps"] == 4
+
+
+def test_cli_simulate_tiny(capsys):
+    from hifigan_tpu.cli import main
+
+    main(["simulate", "--tiny", "--agent", "asr", "--segment_size", "320"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["agent"] == "asr"
+    assert out["source_seconds"] == pytest.approx(1.0)

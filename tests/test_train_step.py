@@ -137,12 +137,15 @@ def test_bf16_train_step(tiny_setup):
     assert np.isfinite(float(metrics_r["generator_loss"]))
 
 
-def test_checkpoint_duplicate_save_is_noop(tmp_path, tiny_setup):
+def test_checkpoint_duplicate_save_is_noop(tmp_path):
     """Saving the same step twice (end-of-chunk + end-of-run force saves)
-    must be a no-op, not an orbax StepAlreadyExistsError."""
+    must be a no-op, not an orbax StepAlreadyExistsError.  Uses its own
+    state: fixture buffers may have been donated by sharded-step tests."""
     from hifigan_tpu.train.checkpoint import CheckpointManager
 
-    state, _, _ = tiny_setup
+    state, _, _ = create_train_state(
+        jax.random.PRNGKey(3), TINY, mel_frames=16, batch_size=2
+    )
     mgr = CheckpointManager(str(tmp_path))
     assert mgr.save(state, force=True)
     mgr.wait()
