@@ -334,6 +334,24 @@ def cmd_serve(args):
     serve(cfg)
 
 
+def cmd_info(args):
+    """Model introspection (reference get_model_info parity)."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from hifigan_tpu.models.generator import Generator, GeneratorConfig
+    from hifigan_tpu.utils import model_info
+
+    cfg = GeneratorConfig()
+    model = Generator(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 80, 8)),
+                        jnp.zeros((1, 192)), jnp.zeros((1, 256)))
+    info = model_info(params, cfg)
+    print(json.dumps({k: info[k] for k in
+                      ("total_parameters", "parameter_mb",
+                       "per_module_parameters")}, indent=2))
+
+
 def cmd_bench(args):
     root = os.path.join(os.path.dirname(__file__), "..")
     sys.path.insert(0, root)
@@ -392,6 +410,9 @@ def main(argv=None):
 
     b = sub.add_parser("bench", help="run the RTF benchmark")
     b.set_defaults(fn=cmd_bench)
+
+    i = sub.add_parser("info", help="flagship model parameter breakdown")
+    i.set_defaults(fn=cmd_info)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -30,3 +30,12 @@ def test_cli_simulate_tiny(capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["agent"] == "asr"
     assert out["source_seconds"] == pytest.approx(1.0)
+
+
+def test_cli_info(capsys):
+    from hifigan_tpu.cli import main
+
+    main(["info"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["total_parameters"] > 1_000_000
+    assert "upsample_0" in out["per_module_parameters"]
