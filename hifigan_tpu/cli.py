@@ -96,6 +96,14 @@ def cmd_train(args):
             args.data_dir, segment_samples=seg,
             augment_cfg=AugmentConfig() if args.augment else None,
         )
+    elif args.dataset == "formant":
+        from hifigan_tpu.train.corpus import FormantSpeechDataset
+
+        dataset = FormantSpeechDataset(
+            segment_samples=seg, size=args.dataset_size, seed=args.seed,
+        )
+        log.info("training on the procedural formant-speech corpus "
+                 "(%d utterances)", args.dataset_size)
     else:
         dataset = SyntheticSpeechDataset(segment_samples=seg, size=max(64, batch_size * 8))
         log.info("no --data_dir: training on the synthetic dataset")
@@ -127,6 +135,9 @@ def cmd_train(args):
     loader = BatchLoader(dataset, batch_size, seed=args.seed, num_chunks=args.num_chunks)
     metrics_path = os.path.join(args.checkpoint_dir, "metrics.jsonl")
     os.makedirs(args.checkpoint_dir, exist_ok=True)
+    from hifigan_tpu.utils.tb import ScalarWriter
+
+    tb_writer = ScalarWriter(os.path.join(args.checkpoint_dir, "tensorboard"))
     steps_done = int(state.step)
     t_start = time.time()
     import itertools
@@ -156,6 +167,7 @@ def cmd_train(args):
                                  wall_s=round(time.time() - t_start, 1))
                         mf.write(json.dumps(m) + "\n")
                         mf.flush()
+                        tb_writer.write(steps_done, m)
                         log.info("step %d: G=%.3f D=%.3f mel=%.3f", steps_done,
                                  m["generator_loss"], m["discriminator_loss"],
                                  m["mel_loss"])
@@ -163,6 +175,7 @@ def cmd_train(args):
                     if args.max_steps and steps_done >= args.max_steps:
                         mgr.save(state, force=True)
                         mgr.wait()
+                        tb_writer.close()
                         _write_training_summary(args, cfg, steps_done,
                                                 time.time() - t_start)
                         log.info("done at step %d", steps_done)
@@ -172,6 +185,7 @@ def cmd_train(args):
                     mgr.save(state, force=True)
     mgr.save(state, force=True)
     mgr.wait()
+    tb_writer.close()
     _write_training_summary(args, cfg, steps_done, time.time() - t_start)
 
 
@@ -369,6 +383,10 @@ def main(argv=None):
     t = sub.add_parser("train", help="GAN-train the vocoder")
     t.add_argument("--config", default=None)
     t.add_argument("--data_dir", default=None)
+    t.add_argument("--dataset", choices=["synthetic", "formant"], default="synthetic",
+                   help="built-in dataset when no --data_dir is given")
+    t.add_argument("--dataset_size", type=int, default=512,
+                   help="number of procedural utterances (formant dataset)")
     t.add_argument("--checkpoint_dir", default="checkpoints")
     t.add_argument("--batch_size", type=int, default=16)
     t.add_argument("--segment_samples", type=int, default=8192)

@@ -60,6 +60,14 @@ def _stats(values: Sequence[float]) -> Dict[str, float]:
     }
 
 
+def aggregate_statistics(results: Sequence[dict]) -> Dict[str, dict]:
+    """Mean/std/min/max per metric key across per-sample result dicts
+    (reference ``StreamSpeechEvaluator`` stats,
+    ``/root/reference/evaluation/evaluation_framework.py:251-272``)."""
+    keys = set().union(*(r.keys() for r in results)) if results else set()
+    return {k: _stats([r.get(k) for r in results]) for k in sorted(keys)}
+
+
 class StreamEvaluator:
     """End-to-end evaluator over (mel, reference text) samples.
 
@@ -117,8 +125,7 @@ class StreamEvaluator:
         ]
 
     def compute_statistics(self, results: Sequence[dict]) -> Dict[str, dict]:
-        keys = set().union(*(r.keys() for r in results)) if results else set()
-        return {k: _stats([r.get(k) for r in results]) for k in sorted(keys)}
+        return aggregate_statistics(results)
 
 
 class RealTimeEvaluator:
@@ -176,7 +183,7 @@ def create_evaluation_report(
 ) -> dict:
     """JSON report with raw results, statistics, and PASS/FAIL status vs
     the literature benchmarks (reference ``:343-387``)."""
-    stats = StreamEvaluator.compute_statistics(None, results)  # type: ignore[arg-type]
+    stats = aggregate_statistics(results)
     benchmarks = {}
     for metric, spec in BENCHMARKS.items():
         mean = stats.get(metric, {}).get("mean")

@@ -84,6 +84,11 @@ class CodeVocoderConfig:
     max_duration_per_unit: int = 8
     speaker_dim: int = 0  # >0: concat a speaker embedding channel (codehifigan.py:68-93)
     dur_prediction: bool = True
+    # F0 conditioning (reference codehifigan.py:27-31, 68-79): raw scalar
+    # channel, or a quantized-bin embedding when ``f0_quant_bins > 0``.
+    # When enabled the caller must always pass ``f0``.
+    f0: bool = False
+    f0_quant_bins: int = 0
 
 
 class CodeVocoder(nn.Module):
@@ -98,6 +103,7 @@ class CodeVocoder(nn.Module):
         units: Array,
         speaker_emb: Optional[Array] = None,
         durations: Optional[Array] = None,
+        f0: Optional[Array] = None,
     ):
         cfg = self.config
         emb = nn.Embed(cfg.unit_vocab_size, cfg.embed_dim,
@@ -112,6 +118,29 @@ class CodeVocoder(nn.Module):
             durations = jnp.ones(units.shape, jnp.int32)
         max_frames = units.shape[1] * cfg.max_duration_per_unit
         frames, mask, total = expand_by_durations(emb, durations, max_frames)
+        if cfg.f0:
+            # F0 aligns to *expanded* frame time (the reference concatenates
+            # after repeat_interleave — codehifigan.py:68-79); nearest-repeat
+            # upsample to max_frames (the reference's ``_upsample`` requires
+            # exact divisibility too, codehifigan.py:44-50)
+            assert f0 is not None, "config.f0 is set: an f0 input is required"
+            if cfg.f0_quant_bins > 0:
+                f0_feat = nn.Embed(
+                    cfg.f0_quant_bins, cfg.embed_dim,
+                    param_dtype=jnp.float32, name="f0_quant_embedding",
+                )(f0.astype(jnp.int32))  # [B, Tf, E]
+            else:
+                f0_feat = f0[..., None]  # [B, Tf, 1] raw scalar channel
+            t_f0 = f0_feat.shape[1]
+            if t_f0 != max_frames:
+                assert max_frames % t_f0 == 0, (
+                    f"f0 length {t_f0} must divide the frame budget {max_frames}"
+                )
+                f0_feat = jnp.repeat(f0_feat, max_frames // t_f0, axis=1)
+            frames = jnp.concatenate(
+                [frames, f0_feat.astype(frames.dtype) * mask[..., None].astype(frames.dtype)],
+                axis=-1,
+            )
         if cfg.speaker_dim and speaker_emb is not None:
             spk = jnp.broadcast_to(
                 speaker_emb[:, None, :], (*frames.shape[:2], speaker_emb.shape[-1])

@@ -15,7 +15,19 @@ on final outputs — ``complete_vocoder.py:117-124``; the loss layer keeps
 that as the default for parity and exposes deep FM as an option).
 
 Channels-last layouts throughout: ``[B, T, C]`` / ``[B, p, T/p, C]``.
-"""
+
+**Folded layout option** (``folded=True``, default OFF): packs
+``F = 128 // C`` time (width) steps into the lane dimension per layer
+(see :mod:`hifigan_tpu.ops.fold`) so every conv contracts ≥128 lanes.
+The transform is exact (parity-asserted in ``tests/test_blocks.py``;
+MPD masks the padded width tail after every layer to reproduce the
+reference's zero-SAME-padding).  Measured on TPU v5e at batch 16×8192
+it LOSES: 27.0 ms folded vs 9.7 ms unfolded forward — unlike the
+generator's 32-channel MRF chain these stacks are **compute-bound**
+(≈0.8 TFLOP forward ⇒ ~10 ms ≈ the fp32 MXU roofline), and folding's
+k'·F/k FLOP amplification (25× on the C=1 first layer) swamps the lane
+win.  Kept as an option + parity test; the default path lets XLA's own
+conv tiling run at the roofline.  Full numbers: docs/ARCHITECTURE.md §8."""
 
 from __future__ import annotations
 
@@ -26,10 +38,55 @@ import jax
 import jax.numpy as jnp
 
 from hifigan_tpu.ops import conv as conv_ops
+from hifigan_tpu.ops import fold as fold_ops
 
 Array = jax.Array
 
 _STACK_CHANNELS = (32, 64, 128, 256, 1)
+
+
+def _fold_for(c_in: int, length: int, lane_target: int = 128) -> int:
+    """Largest power-of-two fold ≤ lane_target//c_in that divides length."""
+    f = max(1, lane_target // max(c_in, 1))
+    while f > 1 and (length % f or f & (f - 1)):
+        f //= 2
+    return max(f, 1)
+
+
+def _folded_conv1d_stack_step(
+    x: Array, w: Array, b: Array, padding: int, fold: int
+) -> Array:
+    """One stride-1 conv layer computed in time-folded layout.
+
+    x ``[B, T, Cin]`` → ``[B, T, Cout]`` (exact same values as
+    ``conv_ops.conv1d(x, w, b, padding=padding)``)."""
+    if fold <= 1:
+        return conv_ops.conv1d(x, w, b, padding=padding)
+    xf = fold_ops.fold_time(x, fold)
+    wf, lo, hi = fold_ops.fold_conv_kernel(w, fold, padding=padding)
+    y = conv_ops.conv1d(xf, wf, None, padding=(lo, hi))
+    if b is not None:
+        y = y + jnp.tile(b, fold).astype(y.dtype)
+    return fold_ops.unfold_time(y, fold)
+
+
+def _folded_conv2d_3h(
+    x: Array, w: Array, b: Array | None, fold: int
+) -> Array:
+    """3×3 SAME conv2d on ``[B, P, W, Cin]`` as three height-shifted
+    width-folded 1-D convs (the W axis carries thousands of steps while
+    C is small — folding W keeps the MXU lanes full)."""
+    B, P, W, Cin = x.shape
+    out = None
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    for dh in (0, 1, 2):
+        rows = jax.lax.slice_in_dim(xp, dh, dh + P, axis=1).reshape(B * P, W, Cin)
+        y = _folded_conv1d_stack_step(rows, w[dh], None, padding=1, fold=fold)
+        out = y if out is None else out + y
+    y = out.reshape(B, P, W, -1)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
 
 
 class PeriodDiscriminator(nn.Module):
@@ -38,6 +95,7 @@ class PeriodDiscriminator(nn.Module):
     period: int
     leaky_slope: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, wav: Array) -> Tuple[Array, List[Array]]:
@@ -52,7 +110,14 @@ class PeriodDiscriminator(nn.Module):
         if T % p:
             wav = jnp.pad(wav, ((0, 0), (0, p - T % p)))
             T = wav.shape[1]
-        x = wav.reshape(B, p, T // p, 1).astype(self.dtype)
+        W = T // p
+        x = wav.reshape(B, p, W, 1).astype(self.dtype)
+        # pad W to a lane-fold multiple; mask the tail after every layer
+        # so values equal the reference's zero-SAME-padding exactly
+        Wp = -(-W // 128) * 128 if self.folded else W
+        if Wp != W:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, Wp - W), (0, 0)))
+        wmask = (jnp.arange(Wp) < W)[None, None, :, None] if Wp != W else None
         feats: List[Array] = []
         ch_in = 1
         for i, ch_out in enumerate(_STACK_CHANNELS):
@@ -61,12 +126,18 @@ class PeriodDiscriminator(nn.Module):
                 (3, 3, ch_in, ch_out), jnp.float32,
             )
             b = self.param(f"conv_{i}_bias", nn.initializers.zeros, (ch_out,), jnp.float32)
-            x = conv_ops.conv2d(x, w.astype(self.dtype), b, padding=1)
+            if self.folded:
+                fold = _fold_for(ch_in, Wp)
+                x = _folded_conv2d_3h(x, w.astype(self.dtype), b, fold)
+                if wmask is not None:
+                    x = x * wmask
+            else:
+                x = conv_ops.conv2d(x, w.astype(self.dtype), b, padding=1)
             if i < len(_STACK_CHANNELS) - 1:
                 x = conv_ops.leaky_relu(x, self.leaky_slope)
-                feats.append(x)
+                feats.append(x[:, :, :W] if Wp != W else x)
             ch_in = ch_out
-        return x, feats
+        return (x[:, :, :W] if Wp != W else x), feats
 
 
 class ScaleDiscriminator(nn.Module):
@@ -75,6 +146,7 @@ class ScaleDiscriminator(nn.Module):
     scale: int
     leaky_slope: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, wav: Array) -> Tuple[Array, List[Array]]:
@@ -89,7 +161,11 @@ class ScaleDiscriminator(nn.Module):
                 (15, ch_in, ch_out), jnp.float32,
             )
             b = self.param(f"conv_{i}_bias", nn.initializers.zeros, (ch_out,), jnp.float32)
-            x = conv_ops.conv1d(x, w.astype(self.dtype), b, padding=7)
+            if self.folded:
+                fold = _fold_for(ch_in, x.shape[1])
+                x = _folded_conv1d_stack_step(x, w.astype(self.dtype), b, 7, fold)
+            else:
+                x = conv_ops.conv1d(x, w.astype(self.dtype), b, padding=7)
             if i < len(_STACK_CHANNELS) - 1:
                 x = conv_ops.leaky_relu(x, self.leaky_slope)
                 feats.append(x)
@@ -100,12 +176,15 @@ class ScaleDiscriminator(nn.Module):
 class MultiPeriodDiscriminator(nn.Module):
     periods: Sequence[int] = (2, 3, 5, 7, 11)
     dtype: jnp.dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, wav: Array) -> Tuple[List[Array], List[List[Array]]]:
         outs, feats = [], []
         for p in self.periods:
-            o, f = PeriodDiscriminator(p, dtype=self.dtype, name=f"period_{p}")(wav)
+            o, f = PeriodDiscriminator(
+                p, dtype=self.dtype, folded=self.folded, name=f"period_{p}"
+            )(wav)
             outs.append(o)
             feats.append(f)
         return outs, feats
@@ -114,12 +193,15 @@ class MultiPeriodDiscriminator(nn.Module):
 class MultiScaleDiscriminator(nn.Module):
     scales: Sequence[int] = (1, 2, 4)
     dtype: jnp.dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, wav: Array) -> Tuple[List[Array], List[List[Array]]]:
         outs, feats = [], []
         for s in self.scales:
-            o, f = ScaleDiscriminator(s, dtype=self.dtype, name=f"scale_{s}")(wav)
+            o, f = ScaleDiscriminator(
+                s, dtype=self.dtype, folded=self.folded, name=f"scale_{s}"
+            )(wav)
             outs.append(o)
             feats.append(f)
         return outs, feats
@@ -134,16 +216,17 @@ class Discriminators(nn.Module):
     periods: Sequence[int] = (2, 3, 5, 7, 11)
     scales: Sequence[int] = (1, 2, 4)
     dtype: jnp.dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, wav: Array) -> dict:
         if wav.ndim == 3:
             wav = wav[:, 0, :] if wav.shape[1] == 1 else wav[:, :, 0]
         mpd_out, mpd_feat = MultiPeriodDiscriminator(
-            self.periods, dtype=self.dtype, name="mpd"
+            self.periods, dtype=self.dtype, folded=self.folded, name="mpd"
         )(wav)
         msd_out, msd_feat = MultiScaleDiscriminator(
-            self.scales, dtype=self.dtype, name="msd"
+            self.scales, dtype=self.dtype, folded=self.folded, name="msd"
         )(wav)
         return {
             "mpd_outputs": mpd_out,

@@ -52,16 +52,23 @@ def _hann(win_length: int) -> np.ndarray:
 def frame_signal(x: Array, n_fft: int, hop: int, *, center: bool = True) -> Array:
     """Slice ``[B, T]`` audio into ``[B, n_frames, n_fft]`` frames.
 
-    Uses ``n_fft // hop`` static strided slices (no gather) so XLA lowers
-    it to cheap windowed copies.
+    When ``hop`` divides ``n_fft`` (every config in this repo), framing is
+    ``n_fft // hop`` static slices of a ``[B, rows, hop]`` reshape — pure
+    windowed copies, no gather: ``frame[i, a·hop + b] = x[(i+a)·hop + b]``,
+    so frame column-block ``a`` is rows ``a .. a+n_frames`` of the reshape.
+    Falls back to a constant-index gather otherwise.
     """
     if center:
         x = jnp.pad(x, ((0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
     B, T = x.shape
     n_frames = 1 + (T - n_fft) // hop
-    taps = []
-    # Frame matrix frame[i, j] = x[i*hop + j]. Build by stacking hop-strided
-    # slices over the frame axis in chunks of `hop` phase offsets.
+    if n_fft % hop == 0:
+        k = n_fft // hop
+        rows = n_frames + k - 1
+        y = x[:, : rows * hop].reshape(B, rows, hop)
+        return jnp.concatenate(
+            [y[:, a : a + n_frames] for a in range(k)], axis=-1
+        )
     idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
     return x[:, idx]
 

@@ -58,6 +58,8 @@ class _AgentBase:
         self.committed_text_ids: List[int] = []
         self.emitted_units: List[int] = []
         self.finished = False
+        # per-stream KV cache (pruned on retraction; see runtime.DecoderSession)
+        self.dec_session = self.inf.new_session()
 
     def _ingest(self, states: AgentStates):
         new = states.source_samples[self._consumed_samples :]
@@ -106,15 +108,50 @@ class S2TTAgent(_AgentBase):
     """Simultaneous speech-to-text translation with the CTC-progress gate
     (reference s2tt agent ``policy`` :381-545)."""
 
-    def __init__(self, inference, *, stride_n: int = 1, whole_words: bool = False, **kw):
+    def __init__(self, inference, *, stride_n: int = 1, whole_words: bool = False,
+                 token_text: Optional[Callable[[int], str]] = None, **kw):
         super().__init__(inference, **kw)
         self.gate = StreamSpeechPolicy(stride_n=stride_n)
         self.whole_words = whole_words
+        # id → subword string (for ▁-boundary detection); defaults to the
+        # detokenizer applied to a single id
+        self.token_text = token_text or (lambda i: self.detokenize([i]))
 
     def reset(self):
         super().reset()
         if hasattr(self, "gate"):
             self.gate.reset()
+
+    def _advance_text(self, states: AgentStates, enc) -> tuple:
+        """MT continuation shared by S2TT and S2ST: KV-cached greedy
+        decode, EOS fast-drain when the source is finished (reference
+        agent.py:519-533 — one policy call drains the rest), and
+        whole-word (▁) truncation while the source is still open
+        (reference agent.py:540-556).  Returns (new_ids, hit_eos)."""
+        cfg = self.inf.cfg
+        if states.source_finished:
+            # drain in ONE policy call: allow the whole remaining buffer
+            max_new = cfg.max_target_len - 1 - len(self.committed_text_ids)
+            if max_new <= 0:
+                return [], True
+        else:
+            max_new = cfg.max_new_tokens
+        new_ids = self.inf.continue_text(
+            enc["enc"], self.committed_text_ids,
+            max_new_tokens=max_new, session=self.dec_session,
+        )
+        hit_eos = bool(new_ids) and new_ids[-1] == cfg.eos_id
+        if hit_eos:
+            new_ids = new_ids[:-1]
+        if self.whole_words and not states.source_finished and new_ids:
+            from hifigan_tpu.streaming.decode import trim_to_whole_words
+
+            texts = [self.token_text(i) for i in new_ids]
+            kept = len(trim_to_whole_words(texts))
+            new_ids = new_ids[:kept]
+        if new_ids:
+            self.committed_text_ids.extend(new_ids)
+        return new_ids, hit_eos
 
     def policy(self, states: AgentStates):
         enc = self._encode(states)
@@ -123,20 +160,12 @@ class S2TTAgent(_AgentBase):
         n_src, n_tgt = len(enc["src_tokens"]), len(enc["tgt_tokens"])
         if not self.gate.should_write(n_src, n_tgt, source_finished=states.source_finished):
             return ReadAction()
-        max_new = 1 << 30 if states.source_finished else self.inf.cfg.max_new_tokens
-        new_ids = self.inf.continue_text(
-            enc["enc"], self.committed_text_ids,
-            max_new_tokens=min(max_new, self.inf.cfg.max_new_tokens),
-        )
-        hit_eos = bool(new_ids) and new_ids[-1] == self.inf.cfg.eos_id
-        if hit_eos:
-            new_ids = new_ids[:-1]
+        new_ids, hit_eos = self._advance_text(states, enc)
         if not new_ids:
             if states.source_finished:
                 self.finished = True
                 return WriteAction(TextSegment("", finished=True), finished=True)
             return ReadAction()
-        self.committed_text_ids.extend(new_ids)
         self.gate.committed(n_src, n_tgt)
         done = states.source_finished and hit_eos
         self.finished = done
@@ -146,9 +175,11 @@ class S2TTAgent(_AgentBase):
 
 
 class S2STAgent(S2TTAgent):
-    """Simultaneous S2ST: S2TT gating + T2U unit continuation + unit
-    vocoder with duration-aligned tail emission (reference s2st agent
-    ``policy`` :422-770)."""
+    """Simultaneous S2ST: S2TT gating + MT text tracking + T2U unit
+    continuation + unit vocoder with duration-aligned tail emission
+    (reference s2st agent ``policy`` :422-770: the MT decode precedes
+    unit generation; its committed text is exposed for logging and
+    drives the ▁-truncation/EOS-drain semantics)."""
 
     def policy(self, states: AgentStates):
         enc = self._encode(states)
@@ -157,6 +188,8 @@ class S2STAgent(S2TTAgent):
         n_src, n_tgt = len(enc["src_tokens"]), len(enc["tgt_tokens"])
         if not self.gate.should_write(n_src, n_tgt, source_finished=states.source_finished):
             return ReadAction()
+        # MT text first (reference ordering, agent.py:519-642); units follow
+        self._advance_text(states, enc)
         new_units, _total = self.inf.units_from_prefix(
             enc["unit_argmax"], len(self.emitted_units)
         )
@@ -200,6 +233,7 @@ class WaitkS2TTAgent(_AgentBase):
         new_ids = self.inf.continue_text(
             enc["enc"], self.committed_text_ids,
             max_new_tokens=min(allowed, self.inf.cfg.max_new_tokens),
+            session=self.dec_session,
         )
         hit_eos = bool(new_ids) and new_ids[-1] == self.inf.cfg.eos_id
         if hit_eos:

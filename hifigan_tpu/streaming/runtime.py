@@ -31,9 +31,63 @@ import numpy as np
 
 from hifigan_tpu.models.code_vocoder import CodeVocoder
 from hifigan_tpu.models.streamspeech import StreamSpeechS2ST
+from hifigan_tpu.streaming import incremental as inc
 from hifigan_tpu.streaming.decode import ctc_greedy_collapse, ctc_prefix_frames
 
 Array = jax.Array
+
+
+class DecoderSession:
+    """Per-stream incremental decoding state: the self-attention KV cache
+    plus the token sequence it encodes (BOS + committed prefix).  Kept
+    across policy calls; pruned on retraction (reference
+    ``agent/sequence_generator.py:93-99, 181-194``)."""
+
+    def __init__(self, inf: "S2STInference"):
+        self.inf = inf
+        self.cache = inc.init_cache(inf.decoder_spec, 1, inf.cfg.max_target_len)
+        self.tokens: List[int] = []
+
+    def sync(self, ckv, seq: List[int]):
+        """Make the cache encode exactly ``seq`` and return the
+        next-token logits ``[1, vocab]``.  The longest common prefix is
+        kept; a retraction lowers the write index; a gap > 1 token is
+        refilled with one fused ``prefill`` program; when the cache is
+        already exact, one idempotent re-step of the last token
+        recovers the logits."""
+        common = 0
+        for a, b in zip(self.tokens, seq):
+            if a != b:
+                break
+            common += 1
+        if common < len(self.tokens):
+            self.cache = inc.with_index(self.cache, common)
+            self.tokens = self.tokens[:common]
+        gap = seq[common:]
+        if not gap:
+            # re-run the last position (writes identical K/V — idempotent)
+            logits, self.cache = self.inf._decode_incr(
+                self.inf.params, ckv,
+                inc.with_index(self.cache, len(self.tokens) - 1),
+                jnp.asarray([self.tokens[-1]], jnp.int32),
+            )
+            return logits
+        if len(gap) == 1:
+            logits, self.cache = self.inf._decode_incr(
+                self.inf.params, ckv, self.cache,
+                jnp.asarray([gap[0]], jnp.int32),
+            )
+        else:
+            n = min(len(seq), self.inf.cfg.max_target_len)
+            buf = np.zeros((1, self.inf.cfg.max_target_len), np.int32)
+            buf[0, :n] = seq[:n]
+            all_logits, cache = self.inf._prefill(
+                self.inf.params, ckv, jnp.asarray(buf), self.cache
+            )
+            self.cache = inc.with_index(cache, n)
+            logits = all_logits[:, n - 1]
+        self.tokens = list(seq)
+        return logits
 
 
 def _bucket(n: int, align: int, buckets: Sequence[int]) -> int:
@@ -113,6 +167,38 @@ class S2STInference:
 
         self._decode_logprobs = _decode_logprobs
 
+        # --- incremental (KV-cached) decoding programs ---
+        mcfg = model.config
+        self.decoder_spec = inc.DecoderSpec(
+            num_layers=mcfg.decoder_layers,
+            num_heads=mcfg.num_heads,
+            hidden_dim=mcfg.hidden_dim,
+            vocab_size=mcfg.vocab_size,
+        )
+        spec = self.decoder_spec
+
+        @jax.jit
+        def _cross_kv(params, enc):
+            return inc.cross_kv(params["params"]["text_decoder"], spec, enc)
+
+        self._cross_kv = _cross_kv
+
+        @jax.jit
+        def _prefill(params, ckv, tokens, cache):
+            return inc.prefill(
+                params["params"]["text_decoder"], spec, ckv, tokens, cache
+            )
+
+        self._prefill = _prefill
+
+        @jax.jit
+        def _decode_incr(params, ckv, cache, token):
+            return inc.decode_step(
+                params["params"]["text_decoder"], spec, ckv, cache, token
+            )
+
+        self._decode_incr = _decode_incr
+
         if code_vocoder is not None:
 
             @jax.jit
@@ -150,19 +236,51 @@ class S2STInference:
 
     # ---- bounded greedy continuation of the text decoder ----
 
+    def new_session(self) -> DecoderSession:
+        """Fresh per-stream KV-cache state (one per streaming session)."""
+        return DecoderSession(self)
+
     def continue_text(
-        self, enc: Array, prefix_ids: List[int], max_new_tokens: Optional[int] = None
+        self,
+        enc: Array,
+        prefix_ids: List[int],
+        max_new_tokens: Optional[int] = None,
+        session: Optional[DecoderSession] = None,
     ) -> List[int]:
         """Greedy-decode up to ``max_new_tokens`` continuation tokens
         (reference ``generate_decoder(..., max_new_tokens)``,
-        agent/sequence_generator.py:165-180)."""
+        agent/sequence_generator.py:165-180).
+
+        With a :class:`DecoderSession`, decoding is KV-cached: cross K/V
+        are projected once for this call's encoder state, the session
+        cache covers the prefix (pruned on retraction), and each new
+        token costs ONE O(max_len) incremental program — per-token cost
+        independent of prefix length.  Without a session it falls back
+        to the full causal re-decode per token (kept for parity tests)."""
         cfg = self.cfg
         max_new = max_new_tokens or cfg.max_new_tokens
-        tokens = np.zeros((1, cfg.max_target_len), np.int32)
         seq = [cfg.bos_id] + list(prefix_ids)
         n = min(len(seq), cfg.max_target_len)
-        tokens[0, :n] = seq[:n]
         new: List[int] = []
+
+        if session is not None:
+            ckv = self._cross_kv(self.params, enc)
+            logits = session.sync(ckv, seq[:n])
+            while max_new > 0:
+                nxt = int(np.asarray(jnp.argmax(logits, axis=-1))[0])
+                new.append(nxt)
+                if (nxt == cfg.eos_id or len(new) >= max_new
+                        or len(session.tokens) >= cfg.max_target_len - 1):
+                    break
+                logits, session.cache = self._decode_incr(
+                    self.params, ckv, session.cache,
+                    jnp.asarray([nxt], jnp.int32),
+                )
+                session.tokens.append(nxt)
+            return new
+
+        tokens = np.zeros((1, cfg.max_target_len), np.int32)
+        tokens[0, :n] = seq[:n]
         for _ in range(max_new):
             if n >= cfg.max_target_len:
                 break

@@ -96,21 +96,28 @@ def create_train_state(
     )
     discs = Discriminators(dtype=dtype)
     g_rng, d_rng = jax.random.split(rng)
-    mel = jnp.zeros((batch_size, cfg.generator.input_channels, mel_frames))
-    if cfg.precompute_embeddings:
-        spk = jnp.zeros((batch_size, cfg.generator.speaker_dim))
-        emo = jnp.zeros((batch_size, cfg.generator.emotion_dim))
-        gen_params = vocoder.init(g_rng, mel, spk, emo)
-    else:
-        gen_params = vocoder.init(g_rng, mel)
-    wav = jnp.zeros((batch_size, 1, mel_frames * cfg.generator.upsample_ratio))
-    disc_params = discs.init(d_rng, wav)
     tx = make_optimizer(cfg)
-    state = GanTrainState(
-        step=jnp.zeros((), jnp.int32),
-        gen_params=gen_params,
-        disc_params=disc_params,
-        gen_opt_state=tx.init(gen_params),
-        disc_opt_state=tx.init(disc_params),
-    )
-    return state, vocoder, discs
+
+    # One jitted program for the whole init: an eager ``.init()`` issues
+    # thousands of tiny ops, which is pathological under remote-dispatch
+    # TPU rigs (measured: 514 s eager → ~2 s jitted for the flagship).
+    @jax.jit
+    def _init(g_rng, d_rng):
+        mel = jnp.zeros((batch_size, cfg.generator.input_channels, mel_frames))
+        if cfg.precompute_embeddings:
+            spk = jnp.zeros((batch_size, cfg.generator.speaker_dim))
+            emo = jnp.zeros((batch_size, cfg.generator.emotion_dim))
+            gen_params = vocoder.init(g_rng, mel, spk, emo)
+        else:
+            gen_params = vocoder.init(g_rng, mel)
+        wav = jnp.zeros((batch_size, 1, mel_frames * cfg.generator.upsample_ratio))
+        disc_params = discs.init(d_rng, wav)
+        return GanTrainState(
+            step=jnp.zeros((), jnp.int32),
+            gen_params=gen_params,
+            disc_params=disc_params,
+            gen_opt_state=tx.init(gen_params),
+            disc_opt_state=tx.init(disc_params),
+        )
+
+    return _init(g_rng, d_rng), vocoder, discs

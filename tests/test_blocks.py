@@ -43,3 +43,30 @@ def test_hokkien_postprocess():
 
     assert postprocess_hokkien("Tsia̍h-pá--buē7") == "tsia̍h pá buē"
     assert postprocess_hokkien("a1-b2 c3") == "a b c"
+
+
+def test_folded_discriminators_exact():
+    """folded=True is numerically exact vs the natural layout (both MSD
+    time-fold and MPD width-fold with tail masking)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hifigan_tpu.models.discriminators import Discriminators
+
+    wav = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 1000)).astype(np.float32)
+    )
+    d_ref = Discriminators(folded=False)
+    d_fold = Discriminators(folded=True)
+    params = d_ref.init(jax.random.PRNGKey(0), wav)
+    a = d_ref.apply(params, wav)
+    b = d_fold.apply(params, wav)
+    for key in ("mpd_outputs", "msd_outputs"):
+        for x, y in zip(a[key], b[key]):
+            assert x.shape == y.shape
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-4)
+    for key in ("mpd_features", "msd_features"):
+        for fx, fy in zip(a[key], b[key]):
+            for x, y in zip(fx, fy):
+                np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-4)
