@@ -24,6 +24,7 @@ import json
 import logging
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
 from typing import Optional
 
 from hifigan_tpu.app.audio import float_to_wav_bytes, wav_bytes_to_float
@@ -32,6 +33,26 @@ from hifigan_tpu.app.engine import RealTimeTranslationEngine
 from hifigan_tpu.app.offline import offline_manager
 
 log = logging.getLogger(__name__)
+
+STATIC_DIR = Path(__file__).resolve().parent / "static"
+_STATIC_TYPES = {".html": "text/html", ".js": "text/javascript",
+                 ".css": "text/css", ".ico": "image/x-icon"}
+
+
+def _static_file(name: str) -> tuple[bytes, str] | None:
+    """Resolve a /static/* request to (bytes, content-type) or None.
+
+    Serves the bundled web client (capability parity with the
+    reference's ``app/static/`` assets: WebSocket client, microphone
+    capture, base64 audio exchange, history UI).
+    """
+    path = (STATIC_DIR / name).resolve()
+    if not path.is_relative_to(STATIC_DIR) or not path.is_file():
+        return None
+    ctype = _STATIC_TYPES.get(path.suffix)
+    if ctype is None:
+        return None
+    return path.read_bytes(), ctype
 
 
 def _handle_text_translate(engine, payload: dict) -> dict:
@@ -114,7 +135,18 @@ def create_fastapi_app(engine: Optional[RealTimeTranslationEngine] = None,
 
     @app.get("/", response_class=HTMLResponse)
     def index():
-        return INDEX_HTML
+        hit = _static_file("index.html")
+        return hit[0].decode() if hit else INDEX_HTML
+
+    @app.get("/static/{name:path}")
+    def static(name: str):
+        from fastapi import HTTPException
+        from fastapi.responses import Response
+
+        hit = _static_file(name)
+        if hit is None:
+            raise HTTPException(404)
+        return Response(content=hit[0], media_type=hit[1])
 
     @app.get("/api/health")
     def health():
@@ -204,7 +236,15 @@ class StdlibServer:
                 elif self.path == "/api/models/info":
                     self._send(_models_info(engine))
                 elif self.path == "/":
-                    self._send(INDEX_HTML, content_type="text/html")
+                    hit = _static_file("index.html")
+                    body = hit[0].decode() if hit else INDEX_HTML
+                    self._send(body, content_type="text/html")
+                elif self.path.startswith("/static/"):
+                    hit = _static_file(self.path[len("/static/"):])
+                    if hit is None:
+                        self._send({"error": "not found"}, 404)
+                    else:
+                        self._send(hit[0].decode(), content_type=hit[1])
                 else:
                     self._send({"error": "not found"}, 404)
 

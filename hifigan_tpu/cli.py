@@ -113,7 +113,8 @@ def cmd_train(args):
         jax.random.PRNGKey(args.seed), cfg,
         mel_frames=seg // cfg.mel.hop_length, batch_size=batch_size, dtype=dtype,
     )
-    step_fn = make_train_step(vocoder, discs, cfg)
+    steps_per_call = max(1, args.steps_per_call)
+    step_fn = make_train_step(vocoder, discs, cfg, multi_steps=steps_per_call)
     n_dev = len(jax.devices())
     # data-parallel degree must divide the batch
     while n_dev > 1 and batch_size % n_dev:
@@ -122,6 +123,9 @@ def cmd_train(args):
     if n_dev > 1:
         from jax.sharding import NamedSharding, PartitionSpec
 
+        if steps_per_call > 1:  # mesh path shards per-batch; keep 1:1
+            steps_per_call = 1
+            step_fn = make_train_step(vocoder, discs, cfg)
         mesh = make_mesh(n_data=n_dev, devices=jax.devices()[:n_dev])
         step_fn = make_sharded_train_step(step_fn, mesh)
         state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
@@ -143,10 +147,22 @@ def cmd_train(args):
     import itertools
 
     epoch_iter = itertools.count() if args.max_steps else range(args.epochs)
+    pending = []
     with open(metrics_path, "a") as mf:
         for epoch in epoch_iter:
             for chunk in range(args.num_chunks):
                 for batch in loader.epoch(epoch, chunk):
+                    if steps_per_call > 1:
+                        # fuse steps_per_call optimizer steps into one
+                        # scanned device program (dispatch amortisation)
+                        pending.append(batch)
+                        if len(pending) < steps_per_call:
+                            continue
+                        batch = {
+                            k: np.stack([b[k] for b in pending])
+                            for k in pending[0]
+                        }
+                        pending = []
                     if mesh is not None:
                         batch = shard_batch(batch, mesh)
                     try:
@@ -160,8 +176,8 @@ def cmd_train(args):
                         log.exception("step failed; restoring last checkpoint")
                         state = mgr.restore(state)
                         continue
-                    steps_done += 1
-                    if steps_done % args.log_every == 0:
+                    steps_done += steps_per_call
+                    if steps_done % args.log_every < steps_per_call:
                         m = {k: float(v) for k, v in metrics.items()}
                         m.update(step=steps_done, epoch=epoch,
                                  wall_s=round(time.time() - t_start, 1))
@@ -242,10 +258,15 @@ def cmd_eval(args):
             ecapa_channels=32, emo_hidden=32, emo_layers=1, emo_heads=4,
         )
     state, vocoder, _ = create_train_state(jax.random.PRNGKey(0), cfg)
-    if args.checkpoint_dir:
-        mgr = CheckpointManager(args.checkpoint_dir)
+    ckpt_dir = args.checkpoint_dir
+    if ckpt_dir is None and os.path.isdir("runs/flagship"):
+        ckpt_dir = "runs/flagship"  # the shipped trained checkpoint
+    if ckpt_dir:
+        mgr = CheckpointManager(ckpt_dir)
         if mgr.latest_step() is not None:
             state = mgr.restore(state)
+            log.info("restored step %d from %s", int(state.step), ckpt_dir)
+    args.checkpoint_dir = ckpt_dir
 
     synth = jax.jit(lambda mel: vocoder.apply(state.gen_params, mel)["waveform"])
     n_mels = cfg.mel.n_mels
@@ -263,13 +284,28 @@ def cmd_eval(args):
         emotion_embed_fn=jax.jit(lambda m: emo_model.apply(emo_params, m)),
         mel_fn=jax.jit(lambda w: audio_to_mel(w, cfg)),
     )
-    data = SyntheticSpeechDataset(segment_samples=args.segment_samples, size=args.samples)
+    if args.dataset == "formant":
+        # held-out clips (utterance ids disjoint from any training draw)
+        from hifigan_tpu.train.corpus import FormantSpeechCorpus
+
+        corpus = FormantSpeechCorpus(n_speakers=8)
+        clips = [corpus.utterance(i % 8, 10_000 + i) for i in range(args.samples)]
+    else:
+        data = SyntheticSpeechDataset(
+            segment_samples=args.segment_samples, size=args.samples)
+        clips = [data[i] for i in range(args.samples)]
     samples = []
-    for i in range(args.samples):
-        audio = jnp.asarray(data[i][None])
-        samples.append({"mel": audio_to_mel(audio, cfg)})
+    for clip in clips:
+        seg = args.segment_samples
+        audio = np.zeros(seg, np.float32)
+        audio[: min(seg, len(clip))] = clip[:seg]
+        samples.append({"mel": audio_to_mel(jnp.asarray(audio[None]), cfg)})
     results = evaluator.evaluate_batch(samples)
-    report = create_evaluation_report(results, args.output)
+    report = create_evaluation_report(results, args.output, extra={
+        "dataset": args.dataset,
+        "checkpoint_dir": args.checkpoint_dir,
+        "restored_step": int(state.step),
+    })
     print(json.dumps({k: report["benchmarks"][k]["status"]
                       for k in report["benchmarks"]} |
                      {"stats": {k: round(v["mean"], 4)
@@ -403,10 +439,18 @@ def main(argv=None):
                    help="tiny model/segment sizes for smoke runs")
     t.add_argument("--auto_recover", action="store_true",
                    help="on step failure, restore last checkpoint and continue")
+    t.add_argument("--steps_per_call", type=int, default=1,
+                   help="optimizer steps fused per device dispatch (lax.scan)")
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("eval", help="run the evaluation suite")
-    e.add_argument("--checkpoint_dir", default=None)
+    e.add_argument("--checkpoint_dir", default=None,
+                   help="restore the latest checkpoint from this dir "
+                        "(default: runs/flagship when it exists)")
+    e.add_argument("--dataset", choices=["synthetic", "formant"],
+                   default="formant",
+                   help="held-out formant speech clips (default) or the "
+                        "legacy synthetic tones")
     e.add_argument("--samples", type=int, default=4)
     e.add_argument("--segment_samples", type=int, default=8192)
     e.add_argument("--output", default=None)

@@ -104,9 +104,20 @@ class StreamEvaluator:
         emo_sim = float(cosine_similarity(
             self.emotion_embed_fn(mel), self.emotion_embed_fn(gen_mel)
         )[0])
+        # copy-synthesis fidelity: input log-mel vs the log-mel of the
+        # synthesized waveform (the BASELINE.md mel-L1 / MCD metrics;
+        # reference evaluation_framework.py report semantics)
+        frames = min(mel.shape[-1], gen_mel.shape[-1])
+        from hifigan_tpu.eval.metrics import mcd, mel_l1
+
         result = {
             "speaker_similarity": spk_sim,
             "emotion_similarity": emo_sim,
+            "mel_l1": mel_l1(mel[..., :frames], gen_mel[..., :frames]),
+            "mcd": mcd(
+                np.asarray(mel)[0, :, :frames].T,
+                np.asarray(gen_mel)[0, :, :frames].T,
+            ),
             "processing_time": wall,
             "rtf": real_time_factor(wav_np.shape[-1] / 16_000, wall),
         }

@@ -109,10 +109,12 @@ class S2TTAgent(_AgentBase):
     (reference s2tt agent ``policy`` :381-545)."""
 
     def __init__(self, inference, *, stride_n: int = 1, whole_words: bool = False,
+                 decode: str = "greedy",
                  token_text: Optional[Callable[[int], str]] = None, **kw):
         super().__init__(inference, **kw)
         self.gate = StreamSpeechPolicy(stride_n=stride_n)
         self.whole_words = whole_words
+        self.decode = decode  # "greedy" (KV-cached) | "hmt" (simultaneous beam)
         # id → subword string (for ▁-boundary detection); defaults to the
         # detokenizer applied to a single id
         self.token_text = token_text or (lambda i: self.detokenize([i]))
@@ -121,6 +123,59 @@ class S2TTAgent(_AgentBase):
         super().reset()
         if hasattr(self, "gate"):
             self.gate.reset()
+        # HMT mode: resumable beam state + the committed prefix it was
+        # seeded with (beams' tokens are continuations beyond hmt_base)
+        self.hmt_state = None
+        self.hmt_base: List[int] = []
+
+    def _advance_text_hmt(self, states: AgentStates, enc) -> tuple:
+        """HMT-simultaneous beam continuation (reference
+        hmt_sim_sequence_generator.py capability): resumable across
+        policy calls; beams inconsistent with already-emitted text are
+        pruned (emissions cannot be retracted — reference
+        sequence_generator.py:93-99 prunes incremental state the same
+        way)."""
+        cfg = self.inf.cfg
+        done_cont = self.committed_text_ids[len(self.hmt_base):]
+        st = self.hmt_state
+        if st is not None and done_cont:
+            keep = [b for b in st.beams
+                    if b.tokens[: len(done_cont)] == done_cont]
+            fin = [b for b in st.finished
+                   if b.tokens[: len(done_cont)] == done_cont]
+            if keep or fin:
+                st.beams, st.finished = keep, fin
+            else:
+                st = None
+        if st is None:
+            self.hmt_base = list(self.committed_text_ids)
+            done_cont = []
+        if states.source_finished:
+            max_new = cfg.max_target_len - 1 - len(self.committed_text_ids)
+            if max_new <= 0:
+                return [], True
+        else:
+            max_new = cfg.max_new_tokens
+        st = self.inf.continue_text_hmt(
+            enc["enc"], self.hmt_base,
+            src_len=enc["valid_frames"],
+            source_finished=bool(states.source_finished),
+            state=st, max_new_tokens=max_new,
+        )
+        self.hmt_state = st
+        cont = list(st.best().tokens)
+        hit_eos = bool(cont) and cont[-1] == cfg.eos_id
+        if hit_eos:
+            cont = cont[:-1]
+        new_ids = cont[len(done_cont):]
+        if self.whole_words and not states.source_finished and new_ids:
+            from hifigan_tpu.streaming.decode import trim_to_whole_words
+
+            texts = [self.token_text(i) for i in new_ids]
+            new_ids = new_ids[: len(trim_to_whole_words(texts))]
+        if new_ids:
+            self.committed_text_ids.extend(new_ids)
+        return new_ids, hit_eos
 
     def _advance_text(self, states: AgentStates, enc) -> tuple:
         """MT continuation shared by S2TT and S2ST: KV-cached greedy
@@ -128,6 +183,8 @@ class S2TTAgent(_AgentBase):
         agent.py:519-533 — one policy call drains the rest), and
         whole-word (▁) truncation while the source is still open
         (reference agent.py:540-556).  Returns (new_ids, hit_eos)."""
+        if self.decode == "hmt":
+            return self._advance_text_hmt(states, enc)
         cfg = self.inf.cfg
         if states.source_finished:
             # drain in ONE policy call: allow the whole remaining buffer

@@ -116,3 +116,182 @@ def greedy_equivalent(score_fn, **kw) -> List[int]:
     """Beam size 1 — sanity path matching greedy decoding."""
     hyps = beam_search(score_fn, beam_size=1, **kw)
     return hyps[0].tokens if hyps else []
+
+
+# --------------------------------------------------------------------------
+# HMT-class simultaneous beam search
+# --------------------------------------------------------------------------
+#
+# Capability parity with the reference's hidden-Markov-transformer
+# generators (``/root/reference/agent/mt/hmt_sim_sequence_generator.py``):
+# per write step the decoder is evaluated at several candidate *read
+# positions* (translation states — ``cands_per_token``, ``:365-366``),
+# a per-state confidence decides READ vs WRITE (transition probs,
+# ``:449-470``), hypotheses are scored jointly over (read position,
+# token) (``:487-499``), reads are monotone per beam (``:490-495``),
+# and decoding is resumable across policy calls — when every live beam
+# wants source that has not arrived yet the generator returns a
+# read-request instead of forcing an emission (``return_read_flag``,
+# ``:435-440, 500-503``).
+#
+# TPU-first redesign: instead of the reference's per-state Python loop
+# with incremental torch state, ALL beams × ALL candidate read
+# positions are scored in ONE batched jitted decoder call — the read
+# prefix is a per-row cross-attention *mask* (static shapes, one
+# compiled program for every prefix length).  The learned transition
+# head is replaced by a confidence gate on the decoder distribution
+# itself (max token probability ≥ ``write_threshold``) plus an explicit
+# per-read penalty in the joint score — the same READ/WRITE semantics
+# without a second trained module.
+
+
+@dataclass
+class HmtHypothesis:
+    tokens: List[int]          # continuation beyond the committed prefix
+    score: float               # joint log-prob incl. read penalties
+    num_read: int              # source positions consumed so far (monotone)
+    reads: List[int]           # read position at which each token was written
+    finished: bool = False
+
+    def normalized_score(self, length_penalty: float) -> float:
+        n = max(1, len(self.tokens))
+        return self.score / (n**length_penalty)
+
+
+@dataclass
+class HmtBeamState:
+    """Resumable decode state carried across policy calls."""
+
+    beams: List[HmtHypothesis]
+    finished: List[HmtHypothesis]
+    need_read: bool = False    # all live beams want unseen source
+
+    def best(self, length_penalty: float = 1.0) -> HmtHypothesis:
+        pool = self.finished + self.beams
+        return max(pool, key=lambda h: h.normalized_score(length_penalty))
+
+
+def hmt_beam_search(
+    score_fn,
+    *,
+    prefix: List[int],
+    src_len: int,
+    source_finished: bool,
+    state: "HmtBeamState | None" = None,
+    beam_size: int = 4,
+    cands_per_token: int = 4,
+    read_stride: int = 1,
+    max_new_tokens: int = 32,
+    max_len: int = 128,
+    bos_id: int = 1,
+    eos_id: int = 2,
+    write_threshold: float = 0.5,
+    read_penalty: float = 0.1,
+    length_penalty: float = 1.0,
+    min_read: int = 1,
+) -> HmtBeamState:
+    """One resumable HMT-beam decode pass.
+
+    Args:
+      score_fn: ``(tokens [N, max_len] int32, read_lens [N] int) →
+        log-probs [N, max_len, V]`` — a causal decoder evaluated with the
+        source masked to ``read_lens[i]`` positions for row ``i``.
+      prefix: committed target tokens (without BOS) — hypotheses continue
+        beyond it.
+      src_len: source positions available *now*; reads never exceed it.
+      source_finished: when False, EOS is suppressed and the search may
+        return early with ``need_read=True`` instead of writing
+        low-confidence tokens (the reference's ``return_read_flag``).
+      state: resume from a previous pass (beams keep tokens/reads/scores).
+
+    Returns the updated :class:`HmtBeamState`.
+    """
+    seed = [bos_id] + list(prefix)
+    if state is None:
+        state = HmtBeamState(
+            beams=[HmtHypothesis([], 0.0, min(max(1, min_read), max(1, src_len)), [])],
+            finished=[],
+        )
+    state.need_read = False
+
+    for _ in range(max_new_tokens):
+        live = [b for b in state.beams if not b.finished]
+        if not live:
+            break
+        # candidate read positions per beam: num_read, +stride, … (clamped,
+        # padded by repetition so the batch shape is static)
+        rows_tokens = np.zeros((len(live) * cands_per_token, max_len), np.int32)
+        rows_read = np.zeros(len(live) * cands_per_token, np.int64)
+        row_meta = []  # (beam index, read_len)
+        for bi, b in enumerate(live):
+            seq = (seed + b.tokens)[:max_len]
+            for k in range(cands_per_token):
+                r = min(src_len, b.num_read + k * read_stride)
+                row = bi * cands_per_token + k
+                rows_tokens[row, : len(seq)] = seq
+                rows_read[row] = max(1, r)
+                row_meta.append((bi, r))
+        logprobs = np.asarray(score_fn(rows_tokens, rows_read))
+        pos = [min(len(seed + b.tokens), max_len) - 1 for b in live]
+
+        candidates: List[HmtHypothesis] = []
+        beam_confident = [False] * len(live)
+        for row, (bi, r) in enumerate(row_meta):
+            b = live[bi]
+            lp = logprobs[row, pos[bi]].copy()
+            if not source_finished:
+                lp[eos_id] = -np.inf
+            p_max = float(np.exp(lp.max()))
+            fully_read = r >= src_len
+            confident = p_max >= write_threshold or (fully_read and source_finished)
+            if confident:
+                beam_confident[bi] = True
+            elif not fully_read:
+                continue  # this state prefers READ — skip its writes
+            elif not source_finished:
+                continue  # would need unseen source
+            top = np.argpartition(-lp, min(beam_size + 1, lp.size - 1))[: beam_size + 1]
+            for tok in top:
+                if not np.isfinite(lp[tok]):
+                    continue
+                cand = HmtHypothesis(
+                    b.tokens + [int(tok)],
+                    b.score + float(lp[tok]) - read_penalty * (r - b.num_read),
+                    r,
+                    b.reads + [r],
+                )
+                if int(tok) == eos_id or len(seed) + len(cand.tokens) >= max_len:
+                    cand.finished = True
+                candidates.append(cand)
+
+        if not candidates:
+            # every live beam wants more source than has arrived
+            if not source_finished:
+                state.need_read = True
+                return state
+            break
+
+        # beams whose every candidate state lacked confidence still advance
+        # their read pointer so the next pass looks further into the source
+        for bi, conf in enumerate(beam_confident):
+            if not conf:
+                live[bi].num_read = min(
+                    src_len, live[bi].num_read + cands_per_token * read_stride)
+
+        candidates.sort(key=lambda h: h.normalized_score(length_penalty), reverse=True)
+        new_beams: List[HmtHypothesis] = []
+        for cand in candidates:
+            if cand.finished:
+                state.finished.append(cand)
+            else:
+                new_beams.append(cand)
+            if len(new_beams) >= beam_size:
+                break
+        if not new_beams:
+            break
+        state.beams = new_beams
+        if state.finished:
+            best_fin = max(h.normalized_score(length_penalty) for h in state.finished)
+            if best_fin >= state.beams[0].normalized_score(length_penalty):
+                break
+    return state

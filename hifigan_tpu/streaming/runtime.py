@@ -167,6 +167,25 @@ class S2STInference:
 
         self._decode_logprobs = _decode_logprobs
 
+        @jax.jit
+        def _decode_logprobs_hmt(params, enc, tokens, read_lens):
+            """tokens [N, L], read_lens [N] → log-probs [N, L, V] with the
+            encoder memory masked to ``read_lens[i]`` frames per row —
+            every (beam × candidate-read-position) scored in ONE program
+            (the HMT generators' per-state decoder sweeps, batched)."""
+            N = tokens.shape[0]
+            mem = jnp.broadcast_to(enc, (N,) + enc.shape[1:])
+            S = enc.shape[1]
+            cross = (jnp.arange(S)[None, None, None, :]
+                     < read_lens[:, None, None, None])
+            logits = model.apply(
+                params, mem, tokens, cross,
+                method=lambda m, e, t, cm: m.text_decoder(e, t, cross_mask=cm),
+            )
+            return jax.nn.log_softmax(logits, axis=-1)
+
+        self._decode_logprobs_hmt = _decode_logprobs_hmt
+
         # --- incremental (KV-cached) decoding programs ---
         mcfg = model.config
         self.decoder_spec = inc.DecoderSpec(
@@ -330,6 +349,54 @@ class S2STInference:
             length_penalty=length_penalty,
         )
         return hyps[0].tokens if hyps else []
+
+    def continue_text_hmt(
+        self,
+        enc: Array,
+        prefix_ids: List[int],
+        *,
+        src_len: int,
+        source_finished: bool,
+        state=None,
+        beam_size: int = 4,
+        cands_per_token: int = 4,
+        read_stride: Optional[int] = None,
+        max_new_tokens: Optional[int] = None,
+        write_threshold: float = 0.5,
+        read_penalty: float = 0.1,
+    ):
+        """HMT-class simultaneous beam continuation (reference
+        ``hmt_sim_sequence_generator.py`` capability — see
+        :func:`hifigan_tpu.streaming.beam.hmt_beam_search`).  ``src_len``
+        is in encoder frames; reads advance by ``read_stride`` (default:
+        one encoder chunk).  Returns the updated, resumable
+        :class:`~hifigan_tpu.streaming.beam.HmtBeamState`."""
+        from hifigan_tpu.streaming import beam as beam_mod
+
+        cfg = self.cfg
+
+        def score_fn(tokens: np.ndarray, read_lens: np.ndarray) -> np.ndarray:
+            return np.asarray(self._decode_logprobs_hmt(
+                self.params, enc, jnp.asarray(tokens, jnp.int32),
+                jnp.asarray(read_lens, jnp.int32),
+            ))
+
+        return beam_mod.hmt_beam_search(
+            score_fn,
+            prefix=prefix_ids,
+            src_len=src_len,
+            source_finished=source_finished,
+            state=state,
+            beam_size=beam_size,
+            cands_per_token=cands_per_token,
+            read_stride=read_stride or self.chunk,
+            max_new_tokens=max_new_tokens or cfg.max_new_tokens,
+            max_len=cfg.max_target_len,
+            bos_id=cfg.bos_id,
+            eos_id=cfg.eos_id,
+            write_threshold=write_threshold,
+            read_penalty=read_penalty,
+        )
 
     # ---- units + waveform tail ----
 

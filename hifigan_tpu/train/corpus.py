@@ -307,14 +307,16 @@ class FormantSpeechDataset:
         size: int = 512,
         n_speakers: int = 32,
         seed: int = 0,
-        cache_utterances: int = 128,
+        cache_utterances: int | None = None,
     ):
         self.segment_samples = segment_samples
         self.size = size
         self.corpus = FormantSpeechCorpus(n_speakers=n_speakers)
         self.seed = seed
         self._cache: dict[int, np.ndarray] = {}
-        self._cache_slots = cache_utterances
+        # default: cache the whole corpus (512 utts ≈ 70 MB — regenerating
+        # on miss costs ~50 ms/utterance, 10× a train step)
+        self._cache_slots = cache_utterances if cache_utterances else size
 
     def __len__(self) -> int:
         return self.size

@@ -61,12 +61,19 @@ def make_train_step(
     deep_feature_matching: bool = False,
     donate: bool = True,
     remat: bool = False,
+    multi_steps: int = 1,
 ) -> Callable[[GanTrainState, dict], tuple[GanTrainState, dict]]:
     """Build the jitted train step.
 
     ``batch``: ``{"audio": [B, T_samples]}`` plus optional ``"mel"``
     ``[B, n_mels, T]`` and (if ``cfg.precompute_embeddings``)
     ``"speaker"``/``"emotion"`` embeddings.
+
+    ``multi_steps > 1``: the returned function takes batches with a
+    leading ``[multi_steps, ...]`` axis and runs them in ONE compiled
+    ``lax.scan`` program (amortises host→device dispatch — on a
+    remote-relay rig the per-step RTT is ~120 ms, 1.6× the device step
+    itself).  Returned metrics are the scan-window means.
     """
     tx = make_optimizer(cfg)
     w = cfg.loss_weights
@@ -161,6 +168,14 @@ def make_train_step(
             **aux,
         }
         return new_state, metrics
+
+    if multi_steps > 1:
+
+        def multi(state: GanTrainState, batches: dict):
+            state, ms = jax.lax.scan(step, state, batches, length=multi_steps)
+            return state, jax.tree_util.tree_map(lambda x: jnp.mean(x), ms)
+
+        return jax.jit(multi, donate_argnums=(0,) if donate else ())
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 

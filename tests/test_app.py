@@ -184,3 +184,73 @@ def test_stdlib_server_roundtrip(engine):
             assert e.code == 404
     finally:
         srv.stop()
+
+
+def test_stdlib_server_static_client(engine):
+    """The bundled web client (index + app.js + css) is served; path
+    traversal out of static/ is rejected (parity role of the reference's
+    ``app/static`` assets served by FastAPI StaticFiles)."""
+    from dataclasses import replace
+
+    from hifigan_tpu.app.config import Settings
+    from hifigan_tpu.app.server import StdlibServer
+
+    cfg = replace(Settings(), web=replace(Settings().web, port=0))
+    srv = StdlibServer(engine=engine, cfg=cfg)
+    port = srv.start(background=True)
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(base + "/") as r:
+            page = r.read().decode()
+            assert "/static/app.js" in page  # real client, not the fallback
+        with urllib.request.urlopen(base + "/static/app.js") as r:
+            assert r.headers["Content-Type"] == "text/javascript"
+            js = r.read().decode()
+            assert "TranslatorClient" in js
+            assert "audio_chunk" in js and "/api/stream/chunk" in js
+        with urllib.request.urlopen(base + "/static/style.css") as r:
+            assert r.headers["Content-Type"] == "text/css"
+        for evil in ("/static/../server.py", "/static/nope.js"):
+            try:
+                urllib.request.urlopen(base + evil)
+                assert False, f"expected 404 for {evil}"
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+    finally:
+        srv.stop()
+
+
+def test_stream_chunk_conversation(engine, rng):
+    """Integration: drive the streaming endpoint the way the web client
+    does — a sequence of 0.5 s base64-WAV chunks followed by silence —
+    and check every reply is a well-formed translation_update (server
+    side of the reference's ``/ws/translate`` audio_chunk loop)."""
+    from dataclasses import replace
+
+    from hifigan_tpu.app.config import Settings
+    from hifigan_tpu.app.server import StdlibServer
+
+    cfg = replace(Settings(), web=replace(Settings().web, port=0))
+    srv = StdlibServer(engine=engine, cfg=cfg)
+    port = srv.start(background=True)
+    base = f"http://127.0.0.1:{port}"
+    sr = 16000
+    t = np.arange(sr // 2, dtype=np.float32)
+    voiced = (0.4 * np.sin(2 * np.pi * 180 * t / sr)
+              * (1 + 0.4 * np.sin(2 * np.pi * 4 * t / sr))).astype(np.float32)
+    chunks = [voiced, voiced, np.zeros(sr // 2, np.float32)]
+    try:
+        for chunk in chunks:
+            wav = float_to_wav_bytes(chunk, sr)
+            req = urllib.request.Request(
+                base + "/api/stream/chunk",
+                data=json.dumps({"type": "audio_chunk",
+                                 "audio": base64.b64encode(wav).decode()}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as r:
+                reply = json.load(r)
+            assert reply["type"] == "translation_update"
+            assert set(reply) >= {"source_text", "translated_text"}
+    finally:
+        srv.stop()

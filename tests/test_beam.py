@@ -122,3 +122,105 @@ def test_waveform_encoders(rng):
         "neutral", "happy", "sad", "angry",
         "fearful", "disgusted", "surprised", "excited",
     )
+
+
+# --------------------------------------------------------------------------
+# HMT-class simultaneous beam (reference hmt_sim_sequence_generator.py)
+# --------------------------------------------------------------------------
+
+BOS, EOS, VOCAB = 1, 2, 32
+TGT = [11, 14, 17, 13, 19]          # correct target sequence
+DECOY = [21, 24, 27, 23, 29]        # what a premature policy writes
+
+
+def _oracle_score_fn(lookahead=2):
+    """Synthetic simultaneous-MT oracle: the correct token for target
+    position t is only predictable once ``read >= t + lookahead``;
+    with less source read, a decoy looks mildly confident."""
+
+    def score(tokens, read_lens):
+        N, L = tokens.shape
+        out = np.full((N, L, VOCAB), np.log(0.001), np.float32)
+        for n in range(N):
+            r = int(read_lens[n])
+            for pos in range(L):
+                t = pos  # position `pos` scores target index `pos`
+                if t < len(TGT):
+                    if r >= t + lookahead:
+                        out[n, pos, TGT[t]] = np.log(0.9)
+                    else:
+                        out[n, pos, DECOY[t]] = np.log(0.55)
+                        out[n, pos, TGT[t]] = np.log(0.05)
+                else:
+                    out[n, pos, EOS] = np.log(0.95)
+        return out
+
+    return score
+
+
+def test_hmt_beam_beats_greedy_waitk():
+    from hifigan_tpu.streaming.beam import hmt_beam_search
+
+    score = _oracle_score_fn()
+    src_len = len(TGT) + 2
+
+    # wait-1 greedy: always writes from the minimal read prefix
+    greedy = []
+    for t in range(len(TGT)):
+        tokens = np.zeros((1, 16), np.int32)
+        tokens[0, 0] = BOS
+        tokens[0, 1:1 + t] = greedy[:t]
+        lp = score(tokens, np.array([t + 1]))[0, t]
+        greedy.append(int(lp.argmax()))
+    assert greedy == DECOY  # premature commitment
+
+    state = hmt_beam_search(
+        score, prefix=[], src_len=src_len, source_finished=True,
+        beam_size=3, cands_per_token=4, max_new_tokens=10, max_len=16,
+        bos_id=BOS, eos_id=EOS, write_threshold=0.6,
+    )
+    best = state.best()
+    toks = best.tokens[:-1] if best.tokens and best.tokens[-1] == EOS else best.tokens
+    assert toks == TGT  # adaptive reads recover the true sequence
+    # reads are monotone and actually waited for the needed lookahead
+    assert all(b <= a for b, a in zip(best.reads, best.reads[1:]))
+    assert best.reads[0] >= 2
+
+
+def test_hmt_beam_resumes_across_policy_calls():
+    from hifigan_tpu.streaming.beam import hmt_beam_search
+
+    score = _oracle_score_fn()
+
+    # only 3 source positions arrived: can confidently write TGT[0]
+    # (needs read>=2) and TGT[1] (needs read>=3), then must request READ
+    st = hmt_beam_search(
+        score, prefix=[], src_len=3, source_finished=False,
+        beam_size=2, cands_per_token=4, max_new_tokens=10, max_len=16,
+        bos_id=BOS, eos_id=EOS, write_threshold=0.6,
+    )
+    assert st.need_read
+    emitted = st.best().tokens
+    assert emitted == TGT[:2]
+
+    # rest of the source arrives → resume the SAME state to completion
+    st2 = hmt_beam_search(
+        score, prefix=[], src_len=len(TGT) + 2, source_finished=True,
+        state=st, beam_size=2, cands_per_token=4, max_new_tokens=10,
+        max_len=16, bos_id=BOS, eos_id=EOS, write_threshold=0.6,
+    )
+    best = st2.best()
+    toks = best.tokens[:-1] if best.tokens[-1] == EOS else best.tokens
+    assert toks == TGT
+
+
+def test_hmt_eos_suppressed_until_source_finished():
+    from hifigan_tpu.streaming.beam import hmt_beam_search
+
+    score = _oracle_score_fn(lookahead=0)  # everything predictable
+    st = hmt_beam_search(
+        score, prefix=list(TGT), src_len=len(TGT) + 2,
+        source_finished=False, beam_size=2, max_new_tokens=4, max_len=16,
+        bos_id=BOS, eos_id=EOS,
+    )
+    assert all(EOS not in h.tokens for h in st.beams + st.finished)

@@ -288,3 +288,32 @@ def test_code_vocoder_f0_paths(rng):
     wavq, _, _ = mq.apply(pq, units, f0=f0q)
     assert wavq.shape == (2, 1, 8 * 3 * 8)
     assert np.isfinite(np.asarray(wavq)).all()
+
+
+def test_s2tt_agent_hmt_mode(tiny_inference, rng):
+    """The HMT-simultaneous-beam decode mode (reference
+    hmt_sim_sequence_generator.py capability) runs a full streaming
+    session: resumable beam state across policy calls, no retraction of
+    committed text, and a terminating drain."""
+    from hifigan_tpu.streaming.agents import S2TTAgent
+
+    agent = S2TTAgent(tiny_inference, decode="hmt")
+    audio = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    committed_snapshots = []
+    orig = agent._advance_text_hmt
+
+    def spy(states, enc):
+        out = orig(states, enc)
+        committed_snapshots.append(list(agent.committed_text_ids))
+        return out
+
+    agent._advance_text_hmt = spy
+    result = run_streaming_session(agent, audio, segment_size_ms=320)
+    assert agent.finished
+    # committed text only ever grows (no retraction of emissions)
+    for a, b in zip(committed_snapshots, committed_snapshots[1:]):
+        assert b[: len(a)] == a
+    # every emission is reflected in the session transcript
+    assert len(agent.committed_text_ids) == len(
+        [t for seg in result.outputs for t in seg.content.split()]
+    )
