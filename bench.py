@@ -115,13 +115,44 @@ def bench_train_step(batch: int = 4, n_samples: int = 8192) -> dict:
             "audio_sec_per_step": audio_sec}
 
 
+def bench_train_step_fused(batch: int = 4, n_samples: int = 8192,
+                           k: int = 8) -> dict:
+    """Config 5 with ``multi_steps=k`` scan fusion (one device dispatch
+    per k optimizer steps — the production training configuration;
+    amortises the host→device relay RTT)."""
+    import time as _time
+
+    from hifigan_tpu.train import TrainConfig, create_train_state, make_train_step
+
+    cfg = TrainConfig(warmup_steps=0)
+    state, vocoder, discs = create_train_state(
+        jax.random.PRNGKey(0), cfg,
+        mel_frames=n_samples // cfg.mel.hop_length, batch_size=batch,
+        dtype=jnp.bfloat16,
+    )
+    step = make_train_step(vocoder, discs, cfg, multi_steps=k)
+    audio = jax.random.normal(jax.random.PRNGKey(1), (k, batch, n_samples)) * 0.1
+    state, m = step(state, {"audio": audio})  # compile
+    jax.block_until_ready(m["generator_loss"])
+    iters = 5
+    t0 = _time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, {"audio": audio})
+    jax.block_until_ready(m["generator_loss"])
+    dt = (_time.perf_counter() - t0) / iters / k
+    return {"steps_per_sec": 1.0 / dt, "ms_per_step": dt * 1e3,
+            "steps_per_call": k,
+            "audio_sec_per_sec": batch * n_samples / 16_000 / dt}
+
+
 def main():
     results = {}
     flagship = bench_flagship()
     results["flagship_odconv_grc_film"] = flagship
     for name, fn in [("hifigan_v1", bench_hifigan_v1),
                      ("conditioned_auto_embeddings", bench_conditioned),
-                     ("gan_train_step", bench_train_step)]:
+                     ("gan_train_step", bench_train_step),
+                     ("gan_train_step_fused8", bench_train_step_fused)]:
         try:
             results[name] = fn()
         except Exception as e:  # keep the contract line even if extras fail

@@ -114,11 +114,30 @@ def cmd_train(args):
         mel_frames=seg // cfg.mel.hop_length, batch_size=batch_size, dtype=dtype,
     )
     steps_per_call = max(1, args.steps_per_call)
-    step_fn = make_train_step(vocoder, discs, cfg, multi_steps=steps_per_call)
     n_dev = len(jax.devices())
     # data-parallel degree must divide the batch
     while n_dev > 1 and batch_size % n_dev:
         n_dev -= 1
+    sample_fn = None
+    if args.device_data and n_dev == 1 and hasattr(dataset, "_utterance"):
+        # whole corpus → HBM; crops sampled inside the compiled program
+        # (per-call host traffic: one PRNG key — see train/device_data.py)
+        from hifigan_tpu.train.device_data import (
+            build_audio_bank,
+            make_device_sampler,
+        )
+
+        bank_np, lens_np = build_audio_bank(dataset)
+        bank = jax.device_put(jnp.asarray(bank_np))
+        lens = jax.device_put(jnp.asarray(lens_np))
+        sample_fn = make_device_sampler(bank, lens, seg, batch_size)
+        log.info("on-device data: %d utterances (%.0f MB) resident in HBM",
+                 bank_np.shape[0], bank_np.nbytes / 1e6)
+    elif args.device_data:
+        log.warning("--device_data needs a single device and a bankable "
+                    "dataset; falling back to the host loader")
+    step_fn = make_train_step(vocoder, discs, cfg, multi_steps=steps_per_call,
+                              sample_fn=sample_fn)
     mesh = None
     if n_dev > 1:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -147,12 +166,28 @@ def cmd_train(args):
     import itertools
 
     epoch_iter = itertools.count() if args.max_steps else range(args.epochs)
+
+    def batches(epoch, chunk):
+        if sample_fn is not None:
+            # on-device data: the "batch" is just PRNG key(s); one
+            # loader-epoch's worth of steps per (epoch, chunk) so the
+            # epoch bookkeeping/checkpoint cadence is unchanged
+            n_calls = max(1, len(dataset) // batch_size // steps_per_call)
+            for i in range(n_calls):
+                base = jax.random.fold_in(
+                    jax.random.PRNGKey(args.seed),
+                    (epoch * args.num_chunks + chunk) * n_calls + i)
+                keys = jax.random.split(base, steps_per_call)
+                yield keys if steps_per_call > 1 else keys[0]
+            return
+        yield from loader.epoch(epoch, chunk)
+
     pending = []
     with open(metrics_path, "a") as mf:
         for epoch in epoch_iter:
             for chunk in range(args.num_chunks):
-                for batch in loader.epoch(epoch, chunk):
-                    if steps_per_call > 1:
+                for batch in batches(epoch, chunk):
+                    if steps_per_call > 1 and sample_fn is None:
                         # fuse steps_per_call optimizer steps into one
                         # scanned device program (dispatch amortisation)
                         pending.append(batch)
@@ -301,11 +336,31 @@ def cmd_eval(args):
         audio[: min(seg, len(clip))] = clip[:seg]
         samples.append({"mel": audio_to_mel(jnp.asarray(audio[None]), cfg)})
     results = evaluator.evaluate_batch(samples)
-    report = create_evaluation_report(results, args.output, extra={
+    extra = {
         "dataset": args.dataset,
         "checkpoint_dir": args.checkpoint_dir,
         "restored_step": int(state.step),
-    })
+    }
+    if args.compare_random:
+        # fidelity control: the same clips through a RANDOM-init
+        # generator (the reference ships no trained vocoder weights —
+        # BASELINE.md training-provenance row — so trained-vs-random on
+        # identical held-out clips is the demonstrable fidelity axis)
+        rnd_state, _, _ = create_train_state(jax.random.PRNGKey(99), cfg)
+        rnd_synth = jax.jit(
+            lambda mel: vocoder.apply(rnd_state.gen_params, mel)["waveform"])
+        rnd_eval = StreamEvaluator(
+            synthesize_fn=rnd_synth,
+            speaker_embed_fn=evaluator.speaker_embed_fn,
+            emotion_embed_fn=evaluator.emotion_embed_fn,
+            mel_fn=evaluator.mel_fn,
+        )
+        from hifigan_tpu.eval.evaluator import aggregate_statistics
+
+        rnd_stats = aggregate_statistics(rnd_eval.evaluate_batch(samples))
+        extra["random_init_control"] = {
+            k: round(v["mean"], 4) for k, v in rnd_stats.items()}
+    report = create_evaluation_report(results, args.output, extra=extra)
     print(json.dumps({k: report["benchmarks"][k]["status"]
                       for k in report["benchmarks"]} |
                      {"stats": {k: round(v["mean"], 4)
@@ -441,6 +496,9 @@ def main(argv=None):
                    help="on step failure, restore last checkpoint and continue")
     t.add_argument("--steps_per_call", type=int, default=1,
                    help="optimizer steps fused per device dispatch (lax.scan)")
+    t.add_argument("--device_data", action="store_true",
+                   help="keep the whole corpus in HBM and sample crops "
+                        "on device (single-device; bankable datasets)")
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("eval", help="run the evaluation suite")
@@ -452,6 +510,9 @@ def main(argv=None):
                    help="held-out formant speech clips (default) or the "
                         "legacy synthetic tones")
     e.add_argument("--samples", type=int, default=4)
+    e.add_argument("--compare_random", action="store_true",
+                   help="also report a random-init generator on the same "
+                        "clips (fidelity control)")
     e.add_argument("--segment_samples", type=int, default=8192)
     e.add_argument("--output", default=None)
     e.add_argument("--tiny", action="store_true")

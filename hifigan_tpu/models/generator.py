@@ -66,7 +66,7 @@ class GeneratorConfig:
     lora_rank: int = 8
     grc_groups: int = 4
     leaky_slope: float = 0.1
-    mrf_backend: str = "auto"  # "auto" | "xla" | "pallas"
+    mrf_backend: str = "auto"  # "auto" | "xla" | "pallas" | "pallas2" (tap-concat)
 
     @property
     def cond_dim(self) -> int:
@@ -420,7 +420,7 @@ class Generator(nn.Module):
         # currently slightly faster than the Pallas kernel (4.6ms vs
         # 5.4ms full forward), so "auto" resolves to XLA; the Pallas
         # backend stays available and parity-tested (ops/pallas).
-        use_pallas = cfg.mrf_backend == "pallas"
+        use_pallas = cfg.mrf_backend in ("pallas", "pallas2")
         n_up = len(cfg.upsample_factors)
         for i, (ks, dils) in enumerate(zip(cfg.resblock_kernel_sizes, cfg.resblock_dilations)):
             residual = x
@@ -450,6 +450,7 @@ class Generator(nn.Module):
                     groups=cfg.grc_groups, channels=ch, fold=fold,
                     slope=cfg.leaky_slope,
                     interpret=jax.default_backend() != "tpu",
+                    tap_concat=cfg.mrf_backend == "pallas2",
                 )
             else:
                 for blk in blocks:

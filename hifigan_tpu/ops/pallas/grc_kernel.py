@@ -58,6 +58,7 @@ def _grc_kernel(
     lo: int,
     k: int,
     u_total: int,
+    tap_concat: bool = False,
 ):
     b = pl.program_id(0)
     u = pl.program_id(1)
@@ -115,13 +116,23 @@ def _grc_kernel(
         constant inside each pl.when branch)."""
         off = P - lo + base
         acc = y[P + base : P + base + tile].astype(jnp.float32)  # residual
+        taps = []
         for j in range(k):
             yj = y[off + j : off + j + tile]
             rows = u * tile - lo + j + t_idx
             valid = (rows >= 0) & (rows < u_total)
-            yj = jnp.where(valid, yj, jnp.zeros_like(yj))
-            acc += jnp.dot(yj, w_ref[j].astype(yj.dtype),
+            taps.append(jnp.where(valid, yj, jnp.zeros_like(yj)))
+        if tap_concat:
+            # one deep matmul [tile, k·C] @ [k·C, C]: 3× the contraction
+            # depth per MXU pass vs k separate [tile,C]@[C,C] dots
+            ycat = jnp.concatenate(taps, axis=-1)
+            wcat = w_ref[...].reshape(k * C, C)
+            acc += jnp.dot(ycat, wcat.astype(ycat.dtype),
                            preferred_element_type=jnp.float32)
+        else:
+            for j in range(k):
+                acc += jnp.dot(taps[j], w_ref[j].astype(taps[j].dtype),
+                               preferred_element_type=jnp.float32)
         acc += bias_ref[0]
         pre_out_ref[0] = acc.astype(pre_out_ref.dtype)
 
@@ -156,7 +167,7 @@ def _grc_kernel(
             compute(2 * halo_al)
 
 
-@functools.partial(jax.jit, static_argnames=("lo", "k", "tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("lo", "k", "tile", "interpret", "tap_concat"))
 def fused_grc_step(
     pre_in: Array,  # [B, U, C]
     mean: Array,  # [B, C] (neutral: zeros)
@@ -171,6 +182,7 @@ def fused_grc_step(
     k: int,
     tile: int = 2048,
     interpret: bool = False,
+    tap_concat: bool = False,
 ) -> Tuple[Array, Array, Array]:
     """One chain step → (pre_out [B,U,C], s1 [B,C], s2 [B,C])."""
     B, U, C = pre_in.shape
@@ -185,7 +197,8 @@ def fused_grc_step(
     slope_arr = jnp.full((1, 1), slope, jnp.float32)
 
     kernel = functools.partial(
-        _grc_kernel, tile=tile, halo=halo, lo=lo, k=k, u_total=U
+        _grc_kernel, tile=tile, halo=halo, lo=lo, k=k, u_total=U,
+        tap_concat=tap_concat,
     )
     pre_out, s1, s2 = pl.pallas_call(
         kernel,
@@ -232,6 +245,8 @@ def grc_chain(
     slope: float,
     interpret: bool = False,
     eps: float = 1e-5,
+    tap_concat: bool = False,
+    tile: int = 2048,
 ) -> Array:
     """Run a chain of fused GRC blocks; returns the activated output of
     the last block.  ``step_params[i]`` carries block i's fused conv
@@ -272,7 +287,7 @@ def grc_chain(
         cur, s1, s2 = fused_grc_step(
             cur, mean_l, inv_l, gamma_l, beta_l,
             p["w2"], p["bias"], sl, lo=p["lo"], k=p["w2"].shape[0],
-            interpret=interpret,
+            interpret=interpret, tap_concat=tap_concat, tile=tile,
         )
     # final normalise + activate (elementwise; XLA fuses it downstream)
     mean_l, inv_l = stats_to_lane(s1, s2)

@@ -24,7 +24,7 @@ The batch carries raw audio only; mel targets are computed **on device**
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -62,6 +62,7 @@ def make_train_step(
     donate: bool = True,
     remat: bool = False,
     multi_steps: int = 1,
+    sample_fn: Optional[Callable] = None,
 ) -> Callable[[GanTrainState, dict], tuple[GanTrainState, dict]]:
     """Build the jitted train step.
 
@@ -74,6 +75,12 @@ def make_train_step(
     ``lax.scan`` program (amortises host→device dispatch — on a
     remote-relay rig the per-step RTT is ~120 ms, 1.6× the device step
     itself).  Returned metrics are the scan-window means.
+
+    ``sample_fn`` (on-device data — :mod:`hifigan_tpu.train.device_data`):
+    the returned function takes PRNG key(s) instead of batches —
+    ``[2]`` uint32 for a single step, ``[multi_steps, 2]`` for the
+    fused scan — and draws each batch from the HBM-resident corpus
+    inside the compiled program (per-call host traffic: one key).
     """
     tx = make_optimizer(cfg)
     w = cfg.loss_weights
@@ -169,15 +176,21 @@ def make_train_step(
         }
         return new_state, metrics
 
+    body = step
+    if sample_fn is not None:
+
+        def body(state: GanTrainState, key):
+            return step(state, {"audio": sample_fn(key)})
+
     if multi_steps > 1:
 
-        def multi(state: GanTrainState, batches: dict):
-            state, ms = jax.lax.scan(step, state, batches, length=multi_steps)
+        def multi(state: GanTrainState, xs):
+            state, ms = jax.lax.scan(body, state, xs, length=multi_steps)
             return state, jax.tree_util.tree_map(lambda x: jnp.mean(x), ms)
 
         return jax.jit(multi, donate_argnums=(0,) if donate else ())
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return jax.jit(body, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(
