@@ -51,6 +51,7 @@ def _grc_kernel(
     s1_ref,  # VMEM [1, 1, C]
     s2_ref,  # VMEM [1, 1, C]
     win_ref,  # VMEM scratch [S, C], S = tile + 2*halo + k - 1
+    cat_ref,  # VMEM scratch [tile, k*C] (tap_concat) or [8, 128] (unused)
     sem,
     *,
     tile: int,
@@ -124,10 +125,14 @@ def _grc_kernel(
             taps.append(jnp.where(valid, yj, jnp.zeros_like(yj)))
         if tap_concat:
             # one deep matmul [tile, k·C] @ [k·C, C]: 3× the contraction
-            # depth per MXU pass vs k separate [tile,C]@[C,C] dots
-            ycat = jnp.concatenate(taps, axis=-1)
+            # depth per MXU pass vs k separate [tile,C]@[C,C] dots.
+            # Mosaic cannot concatenate vectors whose source slices have
+            # different sublane offsets, so the taps are realigned
+            # through a VMEM scratch store first.
+            for j in range(k):
+                cat_ref[:, j * C:(j + 1) * C] = taps[j]
             wcat = w_ref[...].reshape(k * C, C)
-            acc += jnp.dot(ycat, wcat.astype(ycat.dtype),
+            acc += jnp.dot(cat_ref[...], wcat.astype(cat_ref.dtype),
                            preferred_element_type=jnp.float32)
         else:
             for j in range(k):
@@ -227,6 +232,8 @@ def fused_grc_step(
         ),
         scratch_shapes=[
             pltpu.VMEM((2, S, C), pre_in.dtype),  # double-buffered windows
+            pltpu.VMEM((tile, k * C) if tap_concat else (8, 128),
+                       pre_in.dtype),             # tap realignment buffer
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

@@ -46,11 +46,24 @@ class _AgentBase:
         *,
         fbank: Optional[FbankConfig] = None,
         detokenize: Callable[[List[int]], str] = default_detokenizer,
+        debug_dir: Optional[str] = None,
     ):
         self.inf = inference
         self.fbank_cfg = fbank or FbankConfig()
         self.detokenize = detokenize
+        # reference agents append per-stream debug transcripts
+        # (speech_to_speech.streamspeech.agent.py:197-204)
+        self.debug_dir = debug_dir
         self.reset()
+
+    def _debug(self, stream: str, text: str):
+        if not self.debug_dir:
+            return
+        import os
+
+        os.makedirs(self.debug_dir, exist_ok=True)
+        with open(os.path.join(self.debug_dir, f"{stream}.txt"), "a") as f:
+            f.write(text + "\n")
 
     def reset(self):
         self.extractor = OnlineFbank(self.fbank_cfg)
@@ -98,6 +111,7 @@ class ASRAgent(_AgentBase):
             self.finished = True
             return WriteAction(TextSegment("", finished=True), finished=True)
         self.committed_src.extend(new)
+        self._debug("asr", self.detokenize(new))
         return WriteAction(
             TextSegment(self.detokenize(new), finished=states.source_finished),
             finished=states.source_finished and not new,
@@ -175,6 +189,7 @@ class S2TTAgent(_AgentBase):
             new_ids = new_ids[: len(trim_to_whole_words(texts))]
         if new_ids:
             self.committed_text_ids.extend(new_ids)
+            self._debug("st", self.detokenize(new_ids))
         return new_ids, hit_eos
 
     def _advance_text(self, states: AgentStates, enc) -> tuple:
@@ -208,6 +223,7 @@ class S2TTAgent(_AgentBase):
             new_ids = new_ids[:kept]
         if new_ids:
             self.committed_text_ids.extend(new_ids)
+            self._debug("st", self.detokenize(new_ids))
         return new_ids, hit_eos
 
     def policy(self, states: AgentStates):
@@ -258,6 +274,7 @@ class S2STAgent(S2TTAgent):
                 )
             return ReadAction()
         self.emitted_units.extend(new_units)
+        self._debug("unit", " ".join(map(str, new_units)))
         self.gate.committed(n_src, n_tgt)
         tail = self.inf.synthesize_tail(self.emitted_units, len(new_units))
         done = bool(states.source_finished)

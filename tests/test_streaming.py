@@ -317,3 +317,23 @@ def test_s2tt_agent_hmt_mode(tiny_inference, rng):
     assert len(agent.committed_text_ids) == len(
         [t for seg in result.outputs for t in seg.content.split()]
     )
+
+
+def test_agent_debug_streams(tiny_inference, rng, tmp_path):
+    """debug_dir writes per-stream transcripts (reference agent.py:197-204)."""
+    from hifigan_tpu.streaming.agents import S2STAgent
+
+    agent = S2STAgent(tiny_inference, debug_dir=str(tmp_path))
+    audio = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    run_streaming_session(agent, audio, segment_size_ms=320)
+    import os
+
+    written = set(os.listdir(tmp_path))
+    if agent.committed_text_ids:
+        assert "st.txt" in written
+    if agent.emitted_units:
+        assert "unit.txt" in written
+        units = " ".join(
+            open(tmp_path / "unit.txt").read().split()
+        )
+        assert units == " ".join(map(str, agent.emitted_units))
