@@ -39,3 +39,21 @@ def test_cli_info(capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["total_parameters"] > 1_000_000
     assert "upsample_0" in out["per_module_parameters"]
+
+
+def test_cli_train_device_data(tmp_path):
+    """--device_data: corpus banked to device memory, batches sampled
+    in-program from PRNG keys (train/device_data.py), fused with
+    --steps_per_call."""
+    from hifigan_tpu.cli import main
+
+    ckpt = str(tmp_path / "ckpt")
+    # batch_size 1 forces n_dev==1 on the virtual mesh so the
+    # device-data branch (not the host-loader fallback) is exercised
+    main(["train", "--tiny", "--dataset", "formant", "--dataset_size", "4",
+          "--batch_size", "1", "--max_steps", "4", "--steps_per_call", "2",
+          "--device_data", "--log_every", "2", "--checkpoint_dir", ckpt])
+    summary = json.load(open(os.path.join(ckpt, "training_summary.json")))
+    assert summary["steps"] == 4
+    metrics = [json.loads(l) for l in open(os.path.join(ckpt, "metrics.jsonl"))]
+    assert metrics and all("generator_loss" in m for m in metrics)
