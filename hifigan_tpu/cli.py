@@ -294,7 +294,7 @@ def cmd_eval(args):
         )
     state, vocoder, _ = create_train_state(jax.random.PRNGKey(0), cfg)
     ckpt_dir = args.checkpoint_dir
-    if ckpt_dir is None and os.path.isdir("runs/flagship"):
+    if ckpt_dir is None and not args.tiny and os.path.isdir("runs/flagship"):
         ckpt_dir = "runs/flagship"  # the shipped trained checkpoint
     if ckpt_dir:
         mgr = CheckpointManager(ckpt_dir)

@@ -198,11 +198,14 @@ def create_evaluation_report(
     benchmarks = {}
     for metric, spec in BENCHMARKS.items():
         mean = stats.get(metric, {}).get("mean")
-        passed = mean is not None and not np.isnan(mean) and mean >= spec["threshold"]
+        missing = mean is None or np.isnan(mean)
         benchmarks[metric] = {
             **spec,
-            "achieved": None if mean is None or np.isnan(mean) else mean,
-            "status": "PASS" if passed else "FAIL",
+            "achieved": None if missing else mean,
+            # a metric that was never computed (e.g. ASR-BLEU with no ASR
+            # backend reachable) is SKIPPED, not failed
+            "status": ("SKIPPED" if missing
+                       else "PASS" if mean >= spec["threshold"] else "FAIL"),
         }
     report = {
         "num_samples": len(results),

@@ -6,6 +6,7 @@ ICI with data-parallel batches, replicated-or-tensor-sharded parameters,
 and XLA-inserted collectives — no explicit NCCL/MPI calls anywhere.
 """
 
+from hifigan_tpu.parallel.sequence import conformer_forward_seq_sharded
 from hifigan_tpu.parallel.mesh import (
     make_mesh,
     batch_sharding,
@@ -20,4 +21,5 @@ __all__ = [
     "replicate",
     "shard_params_tp",
     "make_sharded_train_step",
+    "conformer_forward_seq_sharded",
 ]

@@ -132,3 +132,14 @@ def test_stage_timer():
         _t.sleep(0.01)
     s = t.summary()
     assert s["a"]["count"] == 2 and s["a"]["mean_ms"] >= 5
+
+
+def test_report_skips_uncomputed_metrics():
+    """A metric never computed (e.g. no ASR backend on a zero-egress
+    rig) is SKIPPED, not failed."""
+    from hifigan_tpu.eval.evaluator import create_evaluation_report
+
+    rep = create_evaluation_report(
+        [{"speaker_similarity": 0.9, "emotion_similarity": 0.9}])
+    assert rep["benchmarks"]["asr_bleu"]["status"] == "SKIPPED"
+    assert rep["benchmarks"]["speaker_similarity"]["status"] == "PASS"
