@@ -117,7 +117,8 @@ def create_fastapi_app(engine: Optional[RealTimeTranslationEngine] = None,
         allow_methods=["*"], allow_headers=["*"],
     )
     eng = engine or RealTimeTranslationEngine(
-        cfg.translation.source_lang, cfg.translation.target_lang
+        cfg.translation.source_lang, cfg.translation.target_lang,
+        vocoder_checkpoint=cfg.models.vocoder_checkpoint,
     )
 
     class ConnectionManager:
@@ -207,6 +208,7 @@ class StdlibServer:
         self.engine = engine or RealTimeTranslationEngine(
             cfg.translation.source_lang, cfg.translation.target_lang,
             load_models=load_models,
+            vocoder_checkpoint=cfg.models.vocoder_checkpoint,
         )
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None

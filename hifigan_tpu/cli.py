@@ -431,11 +431,15 @@ def cmd_serve(args):
     from hifigan_tpu.app.config import settings, settings_from_yaml
     from hifigan_tpu.app.server import serve
 
+    from dataclasses import replace
+
     cfg = settings_from_yaml(args.config) if args.config else settings
     if args.port:
-        from dataclasses import replace
-
         cfg = replace(cfg, web=replace(cfg.web, port=args.port))
+    if cfg.models.vocoder_checkpoint is None and os.path.isdir("runs/flagship"):
+        # serve with the shipped trained vocoder by default
+        cfg = replace(cfg, models=replace(
+            cfg.models, vocoder_checkpoint="runs/flagship"))
     serve(cfg)
 
 
