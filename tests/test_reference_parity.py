@@ -224,3 +224,19 @@ def test_standalone_grc_matches_reference(rng, ref_grc_mod):
     np.testing.assert_allclose(
         np.asarray(y).transpose(0, 2, 1), y_ref, rtol=2e-3, atol=2e-3
     )
+
+
+def test_reference_flagship_generator_unconstructible():
+    """Evidence note for the fidelity baseline: the reference's flagship
+    generator (and therefore its complete vocoder) CRASHES in its own
+    constructor with its own defaults — ``zip(resblock_kernel_sizes,
+    resblock_dilation_sizes)`` pairs the int kernel size 3 with the
+    dilation tuple and then iterates the int
+    (/root/reference/hifigan_modified/generator.py:238-246).  No
+    runnable PyTorch reference model exists to compare synthesized
+    audio against; this repo implements the *stated* architecture
+    (deviation recorded in SURVEY.md §7) and demonstrates fidelity via
+    training + held-out copy-synthesis (EVAL_r02.json)."""
+    gen_mod = _load("ref_generator_ctor", f"{REF}/generator.py")
+    with pytest.raises(TypeError):
+        gen_mod.ModifiedHiFiGANGenerator()
