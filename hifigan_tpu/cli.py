@@ -54,11 +54,22 @@ def cmd_train(args):
         SyntheticSpeechDataset,
         WavDirectoryDataset,
     )
+    from dataclasses import replace
+
+    from hifigan_tpu.train.losses import LossWeights
 
     cfg = TrainConfig()
+    # loss-profile flags (reference loss family:
+    # /root/reference/hifigan_modified/complete_vocoder.py:89-143 and
+    # conditioned_hifigan.py:245-250 — weights/adv-type are the knobs)
+    cfg = replace(cfg, loss_weights=LossWeights(
+        feature_matching=args.fm_weight,
+        mel=args.mel_weight,
+        adversarial=args.adv_weight,
+        multi_res_stft=args.stft_weight,
+        adversarial_type=args.adv_type,
+    ))
     if args.tiny:
-        from dataclasses import replace
-
         cfg = replace(
             cfg,
             generator=GeneratorConfig(
@@ -137,14 +148,16 @@ def cmd_train(args):
         log.warning("--device_data needs a single device and a bankable "
                     "dataset; falling back to the host loader")
     step_fn = make_train_step(vocoder, discs, cfg, multi_steps=steps_per_call,
-                              sample_fn=sample_fn)
+                              sample_fn=sample_fn,
+                              deep_feature_matching=args.deep_fm)
     mesh = None
     if n_dev > 1:
         from jax.sharding import NamedSharding, PartitionSpec
 
         if steps_per_call > 1:  # mesh path shards per-batch; keep 1:1
             steps_per_call = 1
-            step_fn = make_train_step(vocoder, discs, cfg)
+            step_fn = make_train_step(vocoder, discs, cfg,
+                                      deep_feature_matching=args.deep_fm)
         mesh = make_mesh(n_data=n_dev, devices=jax.devices()[:n_dev])
         step_fn = make_sharded_train_step(step_fn, mesh)
         state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
@@ -263,6 +276,275 @@ def _write_training_summary(args, cfg, steps, wall_s):
     }
     with open(os.path.join(args.checkpoint_dir, "training_summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
+
+
+def cmd_train_encoders(args):
+    """Discriminative pre-training of the conditioning encoders
+    (speaker CE over the corpus's 32 labelled speakers + arousal-bin CE;
+    see :mod:`hifigan_tpu.train.encoder_pretrain`)."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from hifigan_tpu.train.checkpoint import CheckpointManager
+    from hifigan_tpu.train.encoder_pretrain import (
+        EncoderTrainConfig,
+        build_labelled_bank,
+        create_encoder_state,
+        make_encoder_train_step,
+        make_fused_encoder_step,
+    )
+
+    cfg = EncoderTrainConfig(
+        n_speakers=args.n_speakers,
+        segment_samples=args.segment_samples,
+        batch_size=args.batch_size,
+        learning_rate=args.lr,
+    )
+    if args.tiny:
+        cfg = EncoderTrainConfig(
+            n_speakers=args.n_speakers, segment_samples=2048,
+            batch_size=4, learning_rate=args.lr,
+            ecapa_channels=32, emo_hidden=32, emo_layers=1, emo_heads=4,
+        )
+    bank_np, lens_np, spk_np, bin_np = build_labelled_bank(
+        n_speakers=cfg.n_speakers,
+        utterances_per_speaker=args.utterances_per_speaker,
+    )
+    log.info("labelled bank: %d utterances (%.0f MB)", bank_np.shape[0],
+             bank_np.nbytes / 1e6)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    state, ecapa, emo, tx = create_encoder_state(
+        jax.random.PRNGKey(args.seed), cfg, dtype=dtype)
+    step_fn = make_encoder_train_step(
+        ecapa, emo, cfg, tx,
+        jax.device_put(jnp.asarray(bank_np)), jnp.asarray(lens_np),
+        jnp.asarray(spk_np), jnp.asarray(bin_np))
+    spc = max(1, args.steps_per_call)
+    fused = make_fused_encoder_step(step_fn, spc)
+    mgr = CheckpointManager(args.checkpoint_dir, save_interval=args.save_steps)
+    if args.resume and mgr.latest_step() is not None:
+        state = mgr.restore(state)
+        log.info("resumed from step %d", int(state.step))
+    metrics_path = os.path.join(args.checkpoint_dir, "metrics.jsonl")
+    steps_done = int(state.step)
+    t0 = time.time()
+    with open(metrics_path, "a") as mf:
+        while steps_done < args.max_steps:
+            base = jax.random.fold_in(jax.random.PRNGKey(args.seed + 1),
+                                      steps_done)
+            keys = jax.random.split(base, spc)
+            state, m = fused(state, keys if spc > 1 else keys[0])
+            steps_done += spc
+            if steps_done % args.log_every < spc:
+                rec = {k: float(v) for k, v in m.items()}
+                rec.update(step=steps_done, wall_s=round(time.time() - t0, 1))
+                mf.write(json.dumps(rec) + "\n")
+                mf.flush()
+                log.info("step %d: spk_loss=%.3f spk_acc=%.3f emo_loss=%.3f "
+                         "emo_acc=%.3f", steps_done, rec["speaker_loss"],
+                         rec["speaker_acc"], rec["emotion_loss"],
+                         rec["emotion_acc"])
+            mgr.save(state)
+    mgr.save(state, force=True)
+    mgr.wait()
+    log.info("encoder training done at step %d (%.0f s)", steps_done,
+             time.time() - t0)
+
+
+def cmd_train_clone(args):
+    """Voice-cloning fine-tune on parallel-content pairs — makes the
+    FiLM conditioning pathway load-bearing (see
+    :mod:`hifigan_tpu.train.cloning`)."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    from dataclasses import replace
+
+    from hifigan_tpu.models.generator import GeneratorConfig
+    from hifigan_tpu.ops.stft import MelConfig
+    from hifigan_tpu.train import TrainConfig, create_train_state
+    from hifigan_tpu.train.checkpoint import CheckpointManager
+    from hifigan_tpu.train.cloning import (
+        build_cloning_banks,
+        make_cloning_train_step,
+        make_pair_sampler,
+    )
+    from hifigan_tpu.train.losses import LossWeights
+
+    cfg = TrainConfig(learning_rate=args.lr)
+    cfg = replace(cfg, loss_weights=LossWeights(
+        feature_matching=args.fm_weight, mel=args.mel_weight,
+        adversarial=args.adv_weight, multi_res_stft=args.stft_weight,
+        adversarial_type=args.adv_type))
+    if args.tiny:
+        cfg = replace(
+            cfg,
+            generator=GeneratorConfig(
+                input_channels=16, hidden_channels=32, upsample_factors=(4, 2),
+                resblock_kernel_sizes=(3,), resblock_dilations=((1, 3),),
+                lora_rank=4,
+            ),
+            mel=MelConfig(n_fft=32, hop_length=8, win_length=32, n_mels=16),
+            warmup_steps=0, decay_steps=1000,
+            ecapa_channels=32, emo_hidden=32, emo_layers=1, emo_heads=4,
+        )
+    seg = args.segment_samples if not args.tiny else 256
+    rseg = args.ref_samples if not args.tiny else 256
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    state, vocoder, discs = create_train_state(
+        jax.random.PRNGKey(args.seed), cfg,
+        mel_frames=seg // cfg.mel.hop_length, batch_size=args.batch_size,
+        dtype=dtype)
+    mgr = CheckpointManager(args.checkpoint_dir, save_interval=args.save_steps)
+    if args.resume and mgr.latest_step() is not None:
+        state = mgr.restore(state)
+        log.info("resumed cloning run from step %d", int(state.step))
+    elif args.init_from:
+        init_mgr = CheckpointManager(args.init_from)
+        state = init_mgr.restore(state)
+        log.info("warm-started from %s step %d", args.init_from,
+                 int(state.step))
+    if args.encoders:
+        from hifigan_tpu.train.encoder_pretrain import (
+            create_encoder_state,
+            EncoderTrainConfig,
+            graft_into_extractor,
+        )
+
+        etpl, _, _, _ = create_encoder_state(
+            jax.random.PRNGKey(0), EncoderTrainConfig(), dtype=dtype)
+        emgr = CheckpointManager(args.encoders)
+        etpl = emgr.restore(etpl)
+        state = state.replace(gen_params=graft_into_extractor(
+            state.gen_params, etpl.ecapa_params, etpl.emo_params))
+        log.info("grafted pretrained encoders from %s (step %d)",
+                 args.encoders, int(etpl.step))
+
+    n_contents = 8 if args.tiny else args.n_contents
+    n_speakers = 4 if args.tiny else 32
+    cache = None if args.tiny else os.path.join("runs", "cloning_bank.npz")
+    banks = build_cloning_banks(n_speakers=n_speakers, n_contents=n_contents,
+                                cache_path=cache)
+    content_bank, ref_bank, lengths = banks
+    log.info("cloning banks: content %s (%.0f MB) + ref %s (%.0f MB)",
+             content_bank.shape, content_bank.nbytes / 1e6,
+             ref_bank.shape, ref_bank.nbytes / 1e6)
+    sampler = make_pair_sampler(
+        jax.device_put(jnp.asarray(content_bank)),
+        jax.device_put(jnp.asarray(ref_bank)),
+        jnp.asarray(lengths), seg, rseg, args.batch_size)
+    spc = max(1, args.steps_per_call)
+    step_fn = make_cloning_train_step(
+        vocoder, discs, cfg, sampler,
+        deep_feature_matching=args.deep_fm, multi_steps=spc)
+    metrics_path = os.path.join(args.checkpoint_dir, "metrics.jsonl")
+    os.makedirs(args.checkpoint_dir, exist_ok=True)
+    steps_done = int(state.step)
+    t0 = time.time()
+    with open(metrics_path, "a") as mf:
+        while steps_done < args.max_steps:
+            base = jax.random.fold_in(jax.random.PRNGKey(args.seed + 2),
+                                      steps_done)
+            keys = jax.random.split(base, spc)
+            try:
+                state, m = step_fn(state, keys if spc > 1 else keys[0])
+            except Exception:
+                if not args.auto_recover or mgr.latest_step() is None:
+                    raise
+                log.exception("step failed; restoring last checkpoint")
+                state = mgr.restore(state)
+                continue
+            steps_done += spc
+            if steps_done % args.log_every < spc:
+                rec = {k: float(v) for k, v in m.items()}
+                rec.update(step=steps_done, wall_s=round(time.time() - t0, 1))
+                mf.write(json.dumps(rec) + "\n")
+                mf.flush()
+                log.info("step %d: G=%.3f D=%.3f mel=%.3f", steps_done,
+                         rec["generator_loss"], rec["discriminator_loss"],
+                         rec["mel_loss"])
+            mgr.save(state)
+    mgr.save(state, force=True)
+    mgr.wait()
+    log.info("cloning training done at step %d (%.0f s)", steps_done,
+             time.time() - t0)
+
+
+def cmd_train_s2st(args):
+    """Multitask training of the StreamSpeech stack on the corpus's
+    paired toy-translation task (see :mod:`hifigan_tpu.train.s2st_task`)."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    from dataclasses import asdict, replace
+
+    from hifigan_tpu.models.streamspeech import StreamSpeechConfig
+    from hifigan_tpu.train.checkpoint import CheckpointManager
+    from hifigan_tpu.train.s2st_task import (
+        S2STTaskConfig,
+        build_s2st_bank,
+        create_s2st_state,
+        evaluate_token_f1,
+        make_s2st_train_step,
+        small_config,
+    )
+
+    task = S2STTaskConfig(
+        n_utterances=args.dataset_size, batch_size=args.batch_size,
+        learning_rate=args.lr, max_seconds=args.max_seconds)
+    model_cfg = small_config()
+    if args.tiny:
+        model_cfg = replace(model_cfg, hidden_dim=32, encoder_layers=1,
+                            decoder_layers=1, num_heads=4)
+        task = replace(task, n_utterances=max(8, args.batch_size * 2))
+    bank_np = build_s2st_bank(task)
+    bank = {k: jax.device_put(jnp.asarray(v)) for k, v in bank_np.items()}
+    log.info("s2st bank: %d paired utterances (%.0f MB audio)",
+             bank_np["audio"].shape[0], bank_np["audio"].nbytes / 1e6)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    state, model, tx = create_s2st_state(
+        jax.random.PRNGKey(args.seed), model_cfg, task, dtype=dtype)
+    spc = max(1, args.steps_per_call)
+    step_fn = make_s2st_train_step(model, tx, task, bank, multi_steps=spc)
+    mgr = CheckpointManager(args.checkpoint_dir, save_interval=args.save_steps)
+    if args.resume and mgr.latest_step() is not None:
+        state = mgr.restore(state)
+        log.info("resumed from step %d", int(state.step))
+    os.makedirs(args.checkpoint_dir, exist_ok=True)
+    with open(os.path.join(args.checkpoint_dir,
+                           "streamspeech_config.json"), "w") as f:
+        json.dump(asdict(model_cfg), f, indent=2)
+    metrics_path = os.path.join(args.checkpoint_dir, "metrics.jsonl")
+    steps_done = int(state.step)
+    t0 = time.time()
+    with open(metrics_path, "a") as mf:
+        while steps_done < args.max_steps:
+            base = jax.random.fold_in(jax.random.PRNGKey(args.seed + 3),
+                                      steps_done)
+            keys = jax.random.split(base, spc)
+            state, m = step_fn(state, keys if spc > 1 else keys[0])
+            steps_done += spc
+            if steps_done % args.log_every < spc:
+                rec = {k: float(v) for k, v in m.items()}
+                rec.update(step=steps_done, wall_s=round(time.time() - t0, 1))
+                mf.write(json.dumps(rec) + "\n")
+                mf.flush()
+                log.info("step %d: loss=%.3f src=%.3f tgt=%.3f dec=%.3f "
+                         "unit=%.3f acc=%.3f", steps_done, rec["loss"],
+                         rec["src_ctc"], rec["tgt_ctc"], rec["dec_ce"],
+                         rec["unit_ctc"], rec["dec_acc"])
+            mgr.save(state)
+    mgr.save(state, force=True)
+    mgr.wait()
+    if args.eval_samples:
+        held = build_s2st_bank(
+            replace(task, n_utterances=args.eval_samples),
+            idx_offset=1_000_000)
+        report = evaluate_token_f1(model, state.params, task, held)
+        report["step"] = steps_done
+        with open(os.path.join(args.checkpoint_dir, "s2st_eval.json"), "w") as f:
+            json.dump(report, f, indent=2)
+        log.info("held-out token F1 %.3f exact %.3f (n=%d)",
+                 report["token_f1"], report["exact_match"], report["n"])
+        print(json.dumps(report))
 
 
 def cmd_eval(args):
@@ -503,7 +785,90 @@ def main(argv=None):
     t.add_argument("--device_data", action="store_true",
                    help="keep the whole corpus in HBM and sample crops "
                         "on device (single-device; bankable datasets)")
+    t.add_argument("--deep_fm", action="store_true",
+                   help="feature matching over intermediate discriminator "
+                        "maps (standard HiFi-GAN) instead of the "
+                        "reference's final-output-only FM")
+    t.add_argument("--fm_weight", type=float, default=10.0,
+                   help="feature-matching weight (reference: 10)")
+    t.add_argument("--mel_weight", type=float, default=45.0,
+                   help="mel reconstruction weight (reference: 45)")
+    t.add_argument("--adv_weight", type=float, default=1.0)
+    t.add_argument("--stft_weight", type=float, default=0.0,
+                   help="multi-resolution STFT auxiliary loss weight")
+    t.add_argument("--adv_type", choices=["lsgan", "hinge"], default="lsgan")
     t.set_defaults(fn=cmd_train)
+
+    te = sub.add_parser("train-encoders",
+                        help="discriminatively pre-train the speaker/"
+                             "emotion encoders on corpus labels")
+    te.add_argument("--checkpoint_dir", default="runs/encoders")
+    te.add_argument("--n_speakers", type=int, default=32)
+    te.add_argument("--utterances_per_speaker", type=int, default=12)
+    te.add_argument("--segment_samples", type=int, default=16384)
+    te.add_argument("--batch_size", type=int, default=32)
+    te.add_argument("--lr", type=float, default=1e-3)
+    te.add_argument("--max_steps", type=int, default=4000)
+    te.add_argument("--save_steps", type=int, default=1000)
+    te.add_argument("--steps_per_call", type=int, default=1)
+    te.add_argument("--log_every", type=int, default=50)
+    te.add_argument("--seed", type=int, default=0)
+    te.add_argument("--bf16", action="store_true")
+    te.add_argument("--resume", action="store_true")
+    te.add_argument("--tiny", action="store_true")
+    te.set_defaults(fn=cmd_train_encoders)
+
+    tc = sub.add_parser("train-clone",
+                        help="voice-cloning fine-tune on parallel-"
+                             "content speaker pairs")
+    tc.add_argument("--checkpoint_dir", default="runs/cloning")
+    tc.add_argument("--init_from", default=None,
+                    help="warm-start GAN state from this checkpoint dir "
+                         "(e.g. runs/flagship)")
+    tc.add_argument("--encoders", default=None,
+                    help="graft pretrained encoders from this dir "
+                         "(e.g. runs/encoders)")
+    tc.add_argument("--n_contents", type=int, default=32)
+    tc.add_argument("--batch_size", type=int, default=16)
+    tc.add_argument("--segment_samples", type=int, default=8192)
+    tc.add_argument("--ref_samples", type=int, default=16384)
+    tc.add_argument("--lr", type=float, default=2e-4)
+    tc.add_argument("--max_steps", type=int, default=200000)
+    tc.add_argument("--save_steps", type=int, default=4000)
+    tc.add_argument("--steps_per_call", type=int, default=1)
+    tc.add_argument("--log_every", type=int, default=100)
+    tc.add_argument("--seed", type=int, default=0)
+    tc.add_argument("--bf16", action="store_true")
+    tc.add_argument("--resume", action="store_true")
+    tc.add_argument("--auto_recover", action="store_true")
+    tc.add_argument("--tiny", action="store_true")
+    tc.add_argument("--deep_fm", action="store_true", default=True)
+    tc.add_argument("--no_deep_fm", dest="deep_fm", action="store_false")
+    tc.add_argument("--fm_weight", type=float, default=10.0)
+    tc.add_argument("--mel_weight", type=float, default=45.0)
+    tc.add_argument("--adv_weight", type=float, default=1.0)
+    tc.add_argument("--stft_weight", type=float, default=1.0)
+    tc.add_argument("--adv_type", choices=["lsgan", "hinge"], default="lsgan")
+    tc.set_defaults(fn=cmd_train_clone)
+
+    ts = sub.add_parser("train-s2st",
+                        help="multitask-train the StreamSpeech stack on "
+                             "the paired toy-translation task")
+    ts.add_argument("--checkpoint_dir", default="runs/s2st")
+    ts.add_argument("--dataset_size", type=int, default=512)
+    ts.add_argument("--batch_size", type=int, default=16)
+    ts.add_argument("--max_seconds", type=float, default=4.0)
+    ts.add_argument("--lr", type=float, default=3e-4)
+    ts.add_argument("--max_steps", type=int, default=20000)
+    ts.add_argument("--save_steps", type=int, default=2000)
+    ts.add_argument("--steps_per_call", type=int, default=1)
+    ts.add_argument("--log_every", type=int, default=100)
+    ts.add_argument("--eval_samples", type=int, default=32)
+    ts.add_argument("--seed", type=int, default=0)
+    ts.add_argument("--bf16", action="store_true")
+    ts.add_argument("--resume", action="store_true")
+    ts.add_argument("--tiny", action="store_true")
+    ts.set_defaults(fn=cmd_train_s2st)
 
     e = sub.add_parser("eval", help="run the evaluation suite")
     e.add_argument("--checkpoint_dir", default=None,

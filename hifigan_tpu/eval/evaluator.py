@@ -91,8 +91,15 @@ class StreamEvaluator:
         self.emotion_embed_fn = emotion_embed_fn
         self.mel_fn = mel_fn
         self.transcribe_fn = transcribe_fn
+        self._warm_shapes: set = set()
 
     def evaluate_single_sample(self, mel, reference_text: Optional[str] = None) -> dict:
+        # one untimed warmup call per input shape so first-call XLA
+        # compilation never pollutes processing_time/rtf statistics
+        shape = tuple(np.shape(mel))
+        if shape not in self._warm_shapes:
+            np.asarray(self.synthesize_fn(mel))
+            self._warm_shapes.add(shape)
         t0 = time.perf_counter()
         wav = self.synthesize_fn(mel)
         wav_np = np.asarray(wav)

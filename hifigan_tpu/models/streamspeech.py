@@ -173,7 +173,14 @@ class StreamSpeechS2ST(nn.Module):
         emotion_emb: Optional[Array] = None,
         *,
         chunked: bool = False,
+        cross_mask: Optional[Array] = None,
+        run_vocoder: bool = True,
     ) -> dict:
+        """``cross_mask``: optional decoder→encoder attention mask (e.g.
+        a source-prefix mask for simultaneous-robust training).
+        ``run_vocoder=False`` skips the mel-vocoder branch — the
+        multitask S2ST trainer only needs the text/unit heads
+        (:mod:`hifigan_tpu.train.s2st_task`)."""
         enc = self.encoder(mel, chunked=chunked)
         out = {
             "encoder_outputs": enc,
@@ -182,11 +189,14 @@ class StreamSpeechS2ST(nn.Module):
             "unit_logits": self.t2u_encoder(enc),
         }
         if target_ids is not None:
-            out["text_logits"] = self.text_decoder(enc, target_ids)
-        voc = self.vocoder(jnp.transpose(mel, (0, 2, 1)), speaker_emb, emotion_emb)
-        out["generated_waveform"] = voc["waveform"]
-        out["speaker_embedding"] = voc["speaker_embedding"]
-        out["emotion_embedding"] = voc["emotion_embedding"]
+            out["text_logits"] = self.text_decoder(enc, target_ids,
+                                                   cross_mask=cross_mask)
+        if run_vocoder:
+            voc = self.vocoder(jnp.transpose(mel, (0, 2, 1)), speaker_emb,
+                               emotion_emb)
+            out["generated_waveform"] = voc["waveform"]
+            out["speaker_embedding"] = voc["speaker_embedding"]
+            out["emotion_embedding"] = voc["emotion_embedding"]
         return out
 
     def streaming_forward(

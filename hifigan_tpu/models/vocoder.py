@@ -47,7 +47,13 @@ class ModifiedVocoder(nn.Module):
         mel: Array,
         speaker_emb: Optional[Array] = None,
         emotion_emb: Optional[Array] = None,
+        reference_mel: Optional[Array] = None,
     ) -> dict:
+        """``reference_mel``: when given, embeddings are auto-extracted
+        from this clip instead of the content mel — the voice-cloning
+        API (clone the reference clip's voice onto ``mel``'s content).
+        Parameter structure is identical either way, so copy-synthesis
+        and cloning checkpoints are interchangeable."""
         if speaker_emb is None or emotion_emb is None:
             ext_spk, ext_emo = EmbeddingExtractor(
                 speaker_dim=self.config.speaker_dim,
@@ -59,7 +65,7 @@ class ModifiedVocoder(nn.Module):
                 emo_heads=self.emo_heads,
                 dtype=self.dtype,
                 name="embedding_extractor",
-            )(mel)
+            )(mel if reference_mel is None else reference_mel)
             speaker_emb = speaker_emb if speaker_emb is not None else ext_spk
             emotion_emb = emotion_emb if emotion_emb is not None else ext_emo
         wav = Generator(self.config, dtype=self.dtype, name="generator")(

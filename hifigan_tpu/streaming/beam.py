@@ -33,6 +33,7 @@ class BeamHypothesis:
     tokens: List[int]
     score: float  # accumulated log-prob
     finished: bool = False
+    row: int = 0  # KV-cache row of this hypothesis (kv_beam_search)
 
     def normalized_score(self, length_penalty: float) -> float:
         n = max(1, len(self.tokens))
@@ -103,6 +104,89 @@ def beam_search(
         candidates.sort(key=lambda h: h.normalized_score(length_penalty), reverse=True)
         beams = candidates[:beam_size]
         # early stop: best finished beats any live upper bound
+        if finished and beams:
+            best_fin = max(h.normalized_score(length_penalty) for h in finished)
+            if best_fin >= beams[0].normalized_score(length_penalty) and step > 0:
+                break
+    result = finished + beams
+    result.sort(key=lambda h: h.normalized_score(length_penalty), reverse=True)
+    return result
+
+
+def kv_beam_search(
+    first_logprobs: np.ndarray,
+    step_fn: Callable[[np.ndarray, np.ndarray], np.ndarray],
+    *,
+    seed_len: int,
+    beam_size: int = 5,
+    max_new_tokens: int = 32,
+    max_len: int = 128,
+    eos_id: int = 2,
+    length_penalty: float = 1.0,
+    forbidden_ids: Tuple[int, ...] = (),
+) -> List[BeamHypothesis]:
+    """KV-cached beam search (the reference's incremental-state beam —
+    ``/root/reference/agent/sequence_generator.py:93-99`` with
+    ``reorder_incremental_state``; here the cache reorder is
+    :func:`hifigan_tpu.streaming.incremental.gather_beams`).
+
+    The caller prefilled the seed into a ``[beam_size, max_len]`` cache
+    (all rows identical) and supplies:
+
+    * ``first_logprobs [V]`` — next-token log-probs after the seed;
+    * ``step_fn(tokens [beam], parents [beam]) → log-probs [beam, V]``
+      — gathers the cache rows by ``parents``, commits ``tokens`` and
+      returns each row's next-token distribution.  O(max_len) per
+      *step*, independent of how many tokens precede it.
+
+    Same host bookkeeping/scoring semantics as :func:`beam_search`
+    (parity-tested), so results match the full-recompute path.
+    Returns hypotheses sorted by normalised score; ``tokens`` is the
+    continuation beyond the seed."""
+
+    def masked(lp: np.ndarray) -> np.ndarray:
+        if forbidden_ids:
+            lp = lp.copy()
+            lp[list(forbidden_ids)] = -np.inf
+        return lp
+
+    finished: List[BeamHypothesis] = []
+    beams: List[BeamHypothesis] = []
+    lp0 = masked(np.asarray(first_logprobs))
+    for tok in np.argpartition(-lp0, min(beam_size, lp0.size - 1))[: beam_size + 1]:
+        cand = BeamHypothesis([int(tok)], float(lp0[tok]), row=0)
+        if int(tok) == eos_id or seed_len + 1 >= max_len:
+            cand.finished = True
+            finished.append(cand)
+        else:
+            beams.append(cand)
+    beams.sort(key=lambda h: h.score, reverse=True)
+    beams = beams[:beam_size]
+
+    for step in range(1, max_new_tokens):
+        if not beams:
+            break
+        tokens = np.zeros(beam_size, np.int32)
+        parents = np.zeros(beam_size, np.int32)
+        for i, b in enumerate(beams):
+            tokens[i] = b.tokens[-1]
+            parents[i] = b.row
+        logprobs = np.asarray(step_fn(tokens, parents))  # [beam, V]
+        candidates: List[BeamHypothesis] = []
+        for i, b in enumerate(beams):
+            lp = masked(logprobs[i])
+            top = np.argpartition(-lp, min(beam_size, lp.size - 1))[: beam_size + 1]
+            for tok in top:
+                cand = BeamHypothesis(
+                    b.tokens + [int(tok)], b.score + float(lp[tok]), row=i)
+                if int(tok) == eos_id or seed_len + len(cand.tokens) >= max_len:
+                    cand.finished = True
+                    finished.append(cand)
+                else:
+                    candidates.append(cand)
+        candidates.sort(key=lambda h: h.normalized_score(length_penalty),
+                        reverse=True)
+        beams = candidates[:beam_size]
         if finished and beams:
             best_fin = max(h.normalized_score(length_penalty) for h in finished)
             if best_fin >= beams[0].normalized_score(length_penalty) and step > 0:

@@ -150,6 +150,7 @@ def prefill(
     ckv: tuple[Array, Array],
     tokens: Array,  # [B, L] int32 (static L ≤ max_len buffer)
     cache: DecoderCache,
+    cross_mask: Array | None = None,  # [B|1, 1, L|1, S] bool
 ) -> tuple[Array, DecoderCache]:
     """Causal forward over the whole token buffer, filling the self K/V
     cache for every position and returning per-position logits.
@@ -170,7 +171,7 @@ def prefill(
         v = _dense(lp["self_mha"]["v"], x)
         new_k.append(k)
         new_v.append(v)
-        x = _decoder_layer(lp, x, k, v, causal, ck_all[i], cv_all[i], None)
+        x = _decoder_layer(lp, x, k, v, causal, ck_all[i], cv_all[i], cross_mask)
     logits = _dense(params["output_proj"], x)
     k_stack = jnp.stack(new_k)  # [n_layers, B, L, H, hd]
     v_stack = jnp.stack(new_v)
@@ -189,6 +190,7 @@ def decode_step(
     ckv: tuple[Array, Array],
     cache: DecoderCache,
     token: Array,  # [B] int32 — token at position cache.index
+    cross_mask: Array | None = None,  # [B|1, 1, 1, S] bool
 ) -> tuple[Array, DecoderCache]:
     """One incremental decode step: O(max_len) attention, O(1) in prefix
     re-computation.  Returns logits ``[B, vocab]`` for the next token
@@ -217,7 +219,8 @@ def decode_step(
         )
         ks.append(k_buf)
         vs.append(v_buf)
-        x = _decoder_layer(lp, x, k_buf, v_buf, self_mask, ck_all[i], cv_all[i], None)
+        x = _decoder_layer(lp, x, k_buf, v_buf, self_mask, ck_all[i], cv_all[i],
+                           cross_mask)
     logits = _dense(params["output_proj"], x)[:, 0]
     return logits, DecoderCache(k=jnp.stack(ks), v=jnp.stack(vs), index=idx + 1)
 

@@ -218,6 +218,34 @@ class S2STInference:
 
         self._decode_incr = _decode_incr
 
+        def _bcast_ckv(ckv, rows):
+            return jax.tree_util.tree_map(
+                lambda a: jnp.broadcast_to(
+                    a, (a.shape[0], rows) + a.shape[2:]), ckv)
+
+        @jax.jit
+        def _prefill_lp(params, ckv, tokens, cache):
+            ckv = _bcast_ckv(ckv, tokens.shape[0])
+            logits, cache = inc.prefill(
+                params["params"]["text_decoder"], spec, ckv, tokens, cache)
+            return jax.nn.log_softmax(logits, axis=-1), cache
+
+        self._prefill_lp = _prefill_lp
+
+        @jax.jit
+        def _beam_step(params, ckv, cache, tokens, parents):
+            """Gather cache rows by beam parents, commit ``tokens``,
+            return next-token log-probs — the KV-cached beam step
+            (reference ``reorder_incremental_state`` +
+            ``forward_decoder``, agent/sequence_generator.py:93-99)."""
+            ckv = _bcast_ckv(ckv, tokens.shape[0])
+            cache = inc.gather_beams(cache, parents)
+            logits, cache = inc.decode_step(
+                params["params"]["text_decoder"], spec, ckv, cache, tokens)
+            return jax.nn.log_softmax(logits, axis=-1), cache
+
+        self._beam_step = _beam_step
+
         if code_vocoder is not None:
 
             @jax.jit
@@ -322,13 +350,49 @@ class S2STInference:
         beam_size: int = 5,
         max_new_tokens: Optional[int] = None,
         length_penalty: float = 1.0,
+        kv_cached: bool = True,
     ) -> List[int]:
         """Beam-search continuation (reference HMT generators — see
-        :mod:`hifigan_tpu.streaming.beam`).  Pads the beam batch to a
-        fixed row count so every step reuses one compiled program."""
+        :mod:`hifigan_tpu.streaming.beam`).
+
+        Default path is **KV-cached**: the seed prefix is prefilled once
+        into a ``[beam, max_len]`` cache, then each beam step is one
+        O(max_len) incremental program with the cache reordered by
+        parent (``incremental.gather_beams``) — per-step cost
+        independent of prefix length.  ``kv_cached=False`` keeps the
+        full causal re-decode per step (parity reference)."""
         from hifigan_tpu.streaming import beam as beam_mod
 
         cfg = self.cfg
+        max_new = max_new_tokens or cfg.max_new_tokens
+
+        if kv_cached:
+            seed = ([cfg.bos_id] + list(prefix_ids))[: cfg.max_target_len]
+            n = len(seed)
+            ckv = self._cross_kv(self.params, enc)
+            cache = inc.init_cache(self.decoder_spec, beam_size,
+                                   cfg.max_target_len)
+            buf = np.zeros((beam_size, cfg.max_target_len), np.int32)
+            buf[:, :n] = seed
+            lp_all, cache = self._prefill_lp(self.params, ckv,
+                                             jnp.asarray(buf), cache)
+            cache = inc.with_index(cache, n)
+            state = {"cache": cache}
+
+            def step_fn(tokens: np.ndarray, parents: np.ndarray) -> np.ndarray:
+                lp, state["cache"] = self._beam_step(
+                    self.params, ckv, state["cache"],
+                    jnp.asarray(tokens, jnp.int32),
+                    jnp.asarray(parents, jnp.int32))
+                return np.asarray(lp)
+
+            hyps = beam_mod.kv_beam_search(
+                np.asarray(lp_all[0, n - 1]), step_fn,
+                seed_len=n, beam_size=beam_size, max_new_tokens=max_new,
+                max_len=cfg.max_target_len, eos_id=cfg.eos_id,
+                length_penalty=length_penalty)
+            return hyps[0].tokens if hyps else []
+
         rows = beam_size + 1
 
         def score_fn(tokens: np.ndarray) -> np.ndarray:
@@ -342,7 +406,7 @@ class S2STInference:
             score_fn,
             prefix=prefix_ids,
             beam_size=beam_size,
-            max_new_tokens=max_new_tokens or cfg.max_new_tokens,
+            max_new_tokens=max_new,
             max_len=cfg.max_target_len,
             bos_id=cfg.bos_id,
             eos_id=cfg.eos_id,

@@ -168,23 +168,58 @@ def _noise_band(n: int, center: float, bw: float, sr: int, rng) -> np.ndarray:
     return sps.sosfilt(sos, noise)
 
 
+# Phone-id table (transcript vocabulary): 0 = pau, then vowels, then
+# consonants.  Used by the streaming-S2ST training task (phone-plan
+# transcripts are free supervision — the corpus knows what it said).
+PHONES = ["pau"] + _VOWEL_KEYS + _CONS_KEYS
+PHONE_TO_ID = {p: i for i, p in enumerate(PHONES)}
+
+
+def plan_phone_ids(plan: list[tuple[str, float]]) -> np.ndarray:
+    """Phone-id sequence of an utterance plan (pauses included)."""
+    return np.array([PHONE_TO_ID[p] for p, _ in plan], dtype=np.int32)
+
+
 class FormantSpeechCorpus:
     """Deterministic procedural speech corpus.
 
     ``utterance(speaker, idx)`` → float32 waveform at 16 kHz, roughly
     1–3 s, peak-normalised to 0.7.
+
+    ``content``: when given, every random draw that defines the
+    *linguistic content* (phone plan, accents, prosodic drift, noise
+    realisations) is seeded by ``content`` alone, so two speakers
+    rendering the same content produce time-aligned parallel utterances
+    differing only in vocal identity (f0 base/range, vocal-tract scale,
+    breathiness).  This is the data substrate for the voice-cloning
+    training task (the reference's thesis capability —
+    ``/root/reference/hifigan_modified/generator.py:174-199`` FiLM
+    conditioning): with parallel targets, the speaker embedding is
+    *necessary*, not redundant.
     """
 
     def __init__(self, *, n_speakers: int = 32, sample_rate: int = SAMPLE_RATE):
         self.n_speakers = n_speakers
         self.sr = sample_rate
 
+    def content_arousal(self, content: int) -> float:
+        """The arousal an unforced rendering of ``content`` would draw."""
+        return float(np.random.default_rng(content).uniform(0.2, 1.0))
+
     def utterance(
-        self, speaker: int, idx: int, *, arousal: float | None = None
-    ) -> np.ndarray:
+        self,
+        speaker: int,
+        idx: int,
+        *,
+        arousal: float | None = None,
+        content: int | None = None,
+        return_plan: bool = False,
+    ):
         sr = self.sr
         prof = SpeakerProfile.from_id(speaker % self.n_speakers)
-        rng = np.random.default_rng((speaker % self.n_speakers) * 1_000_003 + idx)
+        if content is None:
+            content = (speaker % self.n_speakers) * 1_000_003 + idx
+        rng = np.random.default_rng(content)
         if arousal is None:
             arousal = float(rng.uniform(0.2, 1.0))
         rate = 0.85 + 0.5 * arousal            # syllables get shorter when excited
@@ -293,7 +328,10 @@ class FormantSpeechCorpus:
                 out[i0:i1] += 0.1 * murmur
 
         peak = np.abs(out).max() + 1e-9
-        return (0.7 * out / peak).astype(np.float32)
+        audio = (0.7 * out / peak).astype(np.float32)
+        if return_plan:
+            return audio, plan, arousal
+        return audio
 
 
 class FormantSpeechDataset:
