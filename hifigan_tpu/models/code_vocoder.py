@@ -104,12 +104,20 @@ class CodeVocoder(nn.Module):
         speaker_emb: Optional[Array] = None,
         durations: Optional[Array] = None,
         f0: Optional[Array] = None,
+        return_log_dur: bool = False,
     ):
+        """``durations``: teacher durations (training) — the predictor
+        still runs so its log-durations can be supervised
+        (``return_log_dur=True`` appends them to the return tuple;
+        fairseq trains the VariancePredictor exactly this way while
+        expanding with ground truth)."""
         cfg = self.config
         emb = nn.Embed(cfg.unit_vocab_size, cfg.embed_dim,
                        param_dtype=jnp.float32, name="unit_embedding")(units)
-        if cfg.dur_prediction and durations is None:
+        log_dur = None
+        if cfg.dur_prediction:
             log_dur = VariancePredictor(dtype=self.dtype, name="duration_predictor")(emb)
+        if durations is None and log_dur is not None:
             durations = jnp.clip(
                 jnp.round(jnp.exp(log_dur) - 1).astype(jnp.int32),
                 1, cfg.max_duration_per_unit,
@@ -159,4 +167,7 @@ class CodeVocoder(nn.Module):
             ratio *= f
         n_samples = total * ratio
         sample_mask = (jnp.arange(wav.shape[-1])[None] < n_samples[:, None])
-        return wav * sample_mask[:, None, :], durations, n_samples
+        wav = wav * sample_mask[:, None, :]
+        if return_log_dur:
+            return wav, durations, n_samples, log_dur
+        return wav, durations, n_samples

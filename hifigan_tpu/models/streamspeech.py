@@ -97,7 +97,8 @@ class SimultaneousTextDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, memory: Array, target_ids: Array,
-                 cross_mask: Optional[Array] = None) -> Array:
+                 cross_mask: Optional[Array] = None,
+                 return_features: bool = False):
         T = target_ids.shape[1]
         emb = nn.Embed(self.vocab_size, self.hidden_dim,
                        param_dtype=jnp.float32, name="token_embedding")(target_ids)
@@ -109,8 +110,15 @@ class SimultaneousTextDecoder(nn.Module):
                 self.num_heads, 4 * self.hidden_dim, dtype=self.dtype,
                 name=f"layer_{i}",
             )(x, memory.astype(self.dtype), self_mask, cross_mask)
-        return nn.Dense(self.vocab_size, dtype=jnp.float32,
-                        param_dtype=jnp.float32, name="output_proj")(x.astype(jnp.float32))
+        logits = nn.Dense(self.vocab_size, dtype=jnp.float32,
+                          param_dtype=jnp.float32,
+                          name="output_proj")(x.astype(jnp.float32))
+        if return_features:
+            # pre-projection features — what the reference agent feeds
+            # into the synthesizer encoder (mt_decoder features_only,
+            # /root/reference/agent/speech_to_speech.streamspeech.agent.py:638-679)
+            return logits, x
+        return logits
 
 
 class TextToUnitEncoder(nn.Module):
@@ -157,6 +165,15 @@ class StreamSpeechS2ST(nn.Module):
         self.t2u_encoder = TextToUnitEncoder(
             cfg.hidden_dim, cfg.unit_vocab_size, dtype=self.dtype
         )
+        # learned READ/WRITE transition head (reference: the HMT's
+        # trained transition model over translation states,
+        # /root/reference/agent/mt/hmt_sim_sequence_generator.py:449-470).
+        # Scores p(write | decoder state under the current read prefix);
+        # trained self-supervised in train/s2st_task.py (label: can the
+        # decoder already produce the correct token with this prefix?).
+        self.transition_head = nn.Dense(1, dtype=jnp.float32,
+                                        param_dtype=jnp.float32,
+                                        name="transition_head")
         self.vocoder = ModifiedVocoder(
             cfg.generator_config(),
             ecapa_channels=cfg.ecapa_channels,
@@ -175,12 +192,15 @@ class StreamSpeechS2ST(nn.Module):
         chunked: bool = False,
         cross_mask: Optional[Array] = None,
         run_vocoder: bool = True,
+        decoder_units_out: bool = False,
     ) -> dict:
         """``cross_mask``: optional decoder→encoder attention mask (e.g.
         a source-prefix mask for simultaneous-robust training).
         ``run_vocoder=False`` skips the mel-vocoder branch — the
         multitask S2ST trainer only needs the text/unit heads
-        (:mod:`hifigan_tpu.train.s2st_task`)."""
+        (:mod:`hifigan_tpu.train.s2st_task`).  ``decoder_units_out``
+        additionally returns T2U unit logits over the decoder features
+        (single decoder pass; see :meth:`decoder_units`)."""
         enc = self.encoder(mel, chunked=chunked)
         out = {
             "encoder_outputs": enc,
@@ -189,8 +209,19 @@ class StreamSpeechS2ST(nn.Module):
             "unit_logits": self.t2u_encoder(enc),
         }
         if target_ids is not None:
-            out["text_logits"] = self.text_decoder(enc, target_ids,
-                                                   cross_mask=cross_mask)
+            if decoder_units_out:
+                text_logits, feats = self.text_decoder(
+                    enc, target_ids, cross_mask=cross_mask,
+                    return_features=True)
+                out["text_logits"] = text_logits
+                out["decoder_unit_logits"] = self.t2u_encoder(feats)
+                # stop-gradient: the gate learns from the decoder, the
+                # decoder is not distorted by the gate's BCE
+                out["write_logits"] = self.transition_head(
+                    jax.lax.stop_gradient(feats).astype(jnp.float32))[..., 0]
+            else:
+                out["text_logits"] = self.text_decoder(enc, target_ids,
+                                                       cross_mask=cross_mask)
         if run_vocoder:
             voc = self.vocoder(jnp.transpose(mel, (0, 2, 1)), speaker_emb,
                                emotion_emb)
@@ -198,6 +229,37 @@ class StreamSpeechS2ST(nn.Module):
             out["speaker_embedding"] = voc["speaker_embedding"]
             out["emotion_embedding"] = voc["emotion_embedding"]
         return out
+
+    def decoder_units(
+        self,
+        memory: Array,
+        target_ids: Array,
+        cross_mask: Optional[Array] = None,
+    ) -> Array:
+        """Unit logits from MT-*decoder* features (the reference agent's
+        wiring: mt_decoder features → synthesizer encoder →
+        CTCSequenceGenerator, ``/root/reference/agent/
+        speech_to_speech.streamspeech.agent.py:638-679``).  The T2U
+        parameters are shared with the encoder-fed path, so training
+        either path trains both.  Returns ``[B, 8·L_dec, unit_vocab]``."""
+        _logits, feats = self.text_decoder(
+            memory, target_ids, cross_mask=cross_mask, return_features=True)
+        return self.t2u_encoder(feats)
+
+    def decoder_scores(
+        self,
+        memory: Array,
+        target_ids: Array,
+        cross_mask: Optional[Array] = None,
+    ):
+        """(text logits, write logits) under a read-prefix cross mask —
+        the HMT scorer's one-pass program (logits for the joint
+        token×read score, write logits for the learned READ/WRITE
+        gate)."""
+        logits, feats = self.text_decoder(
+            memory, target_ids, cross_mask=cross_mask, return_features=True)
+        write = self.transition_head(feats.astype(jnp.float32))[..., 0]
+        return logits, write
 
     def streaming_forward(
         self,

@@ -55,12 +55,36 @@ def _tp_spec_for(path: tuple, leaf: jax.Array, model_axis: int) -> P:
     Rules (applied only when the dim is divisible by the model-axis size):
     - ODConv kernel banks ``[K, Cin, Cout, k]`` / ``[K, k, Cin, Cout]``:
       shard Cout;
+    - **attention** (Megatron layout): q/k/v DenseGeneral kernels
+      ``[D, H, hd]`` shard the head axis (column-parallel); the ``out``
+      projection ``[H, hd, D]`` shards its head axis (row-parallel, so
+      XLA inserts one psum per attention block);
+    - **FFN / Conformer pointwise**: the expanding matmul
+      (``ffn1``/``pw1``) is column-parallel on its output, the
+      contracting one (``ffn2``/``pw2``) row-parallel on its input —
+      one psum per FFN, no activation all-gather in between;
     - conv kernels ``[k, Cin, Cout]`` and dense kernels ``[Cin, Cout]``:
       shard Cout (the last axis);
     - biases/scales stay replicated (cheap).
     """
     name = str(path[-1]) if path else ""
+    parent = str(path[-2]) if len(path) >= 2 else ""
     shape = leaf.shape
+
+    def ok(dim: int) -> bool:
+        return shape[dim] % model_axis == 0 and shape[dim] >= 2 * model_axis
+
+    if name == "kernel":
+        # attention projections (MultiHeadAttention submodule names)
+        if parent in ("q", "k", "v") and leaf.ndim == 3 and ok(1):
+            return P(None, "model", None)       # [D, H, hd] — column
+        if parent == "out" and leaf.ndim == 3 and ok(0):
+            return P("model", None, None)       # [H, hd, D] — row (psum)
+        # FFN pairs (transformer + conformer pointwise convs)
+        if parent in ("ffn1", "pw1") and leaf.ndim == 2 and ok(1):
+            return P(None, "model")             # column
+        if parent in ("ffn2", "pw2") and leaf.ndim == 2 and ok(0):
+            return P("model", None)             # row (psum)
     if leaf.ndim >= 2 and shape[-1] % model_axis == 0 and shape[-1] >= 2 * model_axis:
         if "kernels" in name:  # ODConv bank: [K, Cin, Cout, k] -> shard Cout (axis -2)
             if leaf.ndim == 4 and shape[-2] % model_axis == 0 and shape[-2] >= 2 * model_axis:

@@ -123,12 +123,14 @@ class S2TTAgent(_AgentBase):
     (reference s2tt agent ``policy`` :381-545)."""
 
     def __init__(self, inference, *, stride_n: int = 1, whole_words: bool = False,
-                 decode: str = "greedy",
+                 decode: str = "greedy", hmt_transition: str = "confidence",
                  token_text: Optional[Callable[[int], str]] = None, **kw):
         super().__init__(inference, **kw)
         self.gate = StreamSpeechPolicy(stride_n=stride_n)
         self.whole_words = whole_words
         self.decode = decode  # "greedy" (KV-cached) | "hmt" (simultaneous beam)
+        # "confidence" (p_max gate) | "learned" (trained transition head)
+        self.hmt_transition = hmt_transition
         # id → subword string (for ▁-boundary detection); defaults to the
         # detokenizer applied to a single id
         self.token_text = token_text or (lambda i: self.detokenize([i]))
@@ -175,6 +177,7 @@ class S2TTAgent(_AgentBase):
             src_len=enc["valid_frames"],
             source_finished=bool(states.source_finished),
             state=st, max_new_tokens=max_new,
+            transition=self.hmt_transition,
         )
         self.hmt_state = st
         cont = list(st.best().tokens)
@@ -252,7 +255,18 @@ class S2STAgent(S2TTAgent):
     continuation + unit vocoder with duration-aligned tail emission
     (reference s2st agent ``policy`` :422-770: the MT decode precedes
     unit generation; its committed text is exposed for logging and
-    drives the ▁-truncation/EOS-drain semantics)."""
+    drives the ▁-truncation/EOS-drain semantics).
+
+    ``units_from="decoder"`` (default) feeds the MT decoder's features
+    into the T2U encoder so the unit stream is consistent with the
+    emitted text (reference agent.py:638-679); ``"encoder"`` keeps the
+    L2-model wiring (T2U over encoder output,
+    /root/reference/streamspeech_integration.py:357)."""
+
+    def __init__(self, inference, *, units_from: str = "decoder", **kw):
+        super().__init__(inference, **kw)
+        assert units_from in ("decoder", "encoder")
+        self.units_from = units_from
 
     def policy(self, states: AgentStates):
         enc = self._encode(states)
@@ -263,9 +277,14 @@ class S2STAgent(S2TTAgent):
             return ReadAction()
         # MT text first (reference ordering, agent.py:519-642); units follow
         self._advance_text(states, enc)
-        new_units, _total = self.inf.units_from_prefix(
-            enc["unit_argmax"], len(self.emitted_units)
-        )
+        if self.units_from == "decoder":
+            new_units, _total = self.inf.units_from_text(
+                enc["enc"], self.committed_text_ids, len(self.emitted_units)
+            )
+        else:
+            new_units, _total = self.inf.units_from_prefix(
+                enc["unit_argmax"], len(self.emitted_units)
+            )
         if not new_units:
             if states.source_finished:
                 self.finished = True

@@ -279,7 +279,11 @@ def hmt_beam_search(
     Args:
       score_fn: ``(tokens [N, max_len] int32, read_lens [N] int) →
         log-probs [N, max_len, V]`` — a causal decoder evaluated with the
-        source masked to ``read_lens[i]`` positions for row ``i``.
+        source masked to ``read_lens[i]`` positions for row ``i``.  May
+        instead return ``(log-probs, write_probs [N, max_len])`` — then
+        the READ/WRITE gate uses the **learned transition head**
+        (reference ``hmt_sim_sequence_generator.py:449-470``) instead of
+        the max-token-probability confidence heuristic.
       prefix: committed target tokens (without BOS) — hypotheses continue
         beyond it.
       src_len: source positions available *now*; reads never exceed it.
@@ -315,7 +319,14 @@ def hmt_beam_search(
                 rows_tokens[row, : len(seq)] = seq
                 rows_read[row] = max(1, r)
                 row_meta.append((bi, r))
-        logprobs = np.asarray(score_fn(rows_tokens, rows_read))
+        scored = score_fn(rows_tokens, rows_read)
+        write_probs = None
+        if isinstance(scored, tuple):
+            logprobs, write_probs = scored
+            logprobs = np.asarray(logprobs)
+            write_probs = np.asarray(write_probs)
+        else:
+            logprobs = np.asarray(scored)
         pos = [min(len(seed + b.tokens), max_len) - 1 for b in live]
 
         candidates: List[HmtHypothesis] = []
@@ -325,9 +336,13 @@ def hmt_beam_search(
             lp = logprobs[row, pos[bi]].copy()
             if not source_finished:
                 lp[eos_id] = -np.inf
-            p_max = float(np.exp(lp.max()))
+            if write_probs is not None:
+                # learned transition gate p(write | state, read prefix)
+                p_gate = float(write_probs[row, pos[bi]])
+            else:
+                p_gate = float(np.exp(lp.max()))
             fully_read = r >= src_len
-            confident = p_max >= write_threshold or (fully_read and source_finished)
+            confident = p_gate >= write_threshold or (fully_read and source_finished)
             if confident:
                 beam_confident[bi] = True
             elif not fully_read:

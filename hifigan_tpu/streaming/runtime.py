@@ -186,6 +186,28 @@ class S2STInference:
 
         self._decode_logprobs_hmt = _decode_logprobs_hmt
 
+        @jax.jit
+        def _decode_scores_hmt(params, enc, tokens, read_lens):
+            """Like ``_decode_logprobs_hmt`` but additionally returns
+            the learned transition head's write probabilities (reference
+            HMT transition model, hmt_sim_sequence_generator.py:449-470)
+            — one program for the joint (token, read) score AND the
+            READ/WRITE gate."""
+            N = tokens.shape[0]
+            mem = jnp.broadcast_to(enc, (N,) + enc.shape[1:])
+            S = enc.shape[1]
+            cross = (jnp.arange(S)[None, None, None, :]
+                     < read_lens[:, None, None, None])
+            logits, write_logits = model.apply(
+                params, mem, tokens, cross,
+                method=lambda m, e, t, cm: m.decoder_scores(
+                    e, t, cross_mask=cm),
+            )
+            return (jax.nn.log_softmax(logits, axis=-1),
+                    jax.nn.sigmoid(write_logits))
+
+        self._decode_scores_hmt = _decode_scores_hmt
+
         # --- incremental (KV-cached) decoding programs ---
         mcfg = model.config
         self.decoder_spec = inc.DecoderSpec(
@@ -428,22 +450,38 @@ class S2STInference:
         max_new_tokens: Optional[int] = None,
         write_threshold: float = 0.5,
         read_penalty: float = 0.1,
+        transition: str = "confidence",
     ):
         """HMT-class simultaneous beam continuation (reference
         ``hmt_sim_sequence_generator.py`` capability — see
         :func:`hifigan_tpu.streaming.beam.hmt_beam_search`).  ``src_len``
         is in encoder frames; reads advance by ``read_stride`` (default:
         one encoder chunk).  Returns the updated, resumable
-        :class:`~hifigan_tpu.streaming.beam.HmtBeamState`."""
+        :class:`~hifigan_tpu.streaming.beam.HmtBeamState`.
+
+        ``transition="learned"`` gates READ/WRITE with the trained
+        transition head (requires a checkpoint trained with
+        :mod:`hifigan_tpu.train.s2st_task`); ``"confidence"`` uses the
+        max-token-probability heuristic."""
         from hifigan_tpu.streaming import beam as beam_mod
 
         cfg = self.cfg
 
-        def score_fn(tokens: np.ndarray, read_lens: np.ndarray) -> np.ndarray:
-            return np.asarray(self._decode_logprobs_hmt(
-                self.params, enc, jnp.asarray(tokens, jnp.int32),
-                jnp.asarray(read_lens, jnp.int32),
-            ))
+        if transition == "learned":
+
+            def score_fn(tokens: np.ndarray, read_lens: np.ndarray):
+                lp, pw = self._decode_scores_hmt(
+                    self.params, enc, jnp.asarray(tokens, jnp.int32),
+                    jnp.asarray(read_lens, jnp.int32))
+                return np.asarray(lp), np.asarray(pw)
+
+        else:
+
+            def score_fn(tokens: np.ndarray, read_lens: np.ndarray):
+                return np.asarray(self._decode_logprobs_hmt(
+                    self.params, enc, jnp.asarray(tokens, jnp.int32),
+                    jnp.asarray(read_lens, jnp.int32),
+                ))
 
         return beam_mod.hmt_beam_search(
             score_fn,
@@ -467,6 +505,37 @@ class S2STInference:
     def units_from_prefix(self, unit_argmax: np.ndarray, emitted_units: int):
         """Unit CTC prefix continuation (reference ctc_generator.py:103-107)."""
         new_units, total = ctc_prefix_frames(unit_argmax, emitted_units, self.cfg.ctc_blank)
+        return new_units, total
+
+    def units_from_text(
+        self, enc: Array, text_ids: List[int], emitted_units: int
+    ):
+        """Decoder-fed unit generation (reference agent wiring —
+        mt_decoder features → T2U, agent.py:638-679): unit CTC argmax
+        over the *committed text prefix*'s decoder features, with the
+        same prefix-continuation semantics as the encoder-fed path.
+        Emitted units therefore stay consistent with the emitted text."""
+        if not text_ids:
+            return [], emitted_units
+        cfg = self.cfg
+        if not hasattr(self, "_decoder_units"):
+
+            @jax.jit
+            def _decoder_units(params, enc, tokens):
+                logits = self.model.apply(
+                    params, enc, tokens,
+                    method=lambda m, e, t: m.decoder_units(e, t))
+                return jnp.argmax(logits, axis=-1)
+
+            self._decoder_units = _decoder_units
+        seq = ([cfg.bos_id] + list(text_ids))[: cfg.max_target_len]
+        buf = np.zeros((1, cfg.max_target_len), np.int32)
+        buf[0, : len(seq)] = seq
+        unit_ids = np.asarray(self._decoder_units(self.params, enc,
+                                                  jnp.asarray(buf)))
+        valid = unit_ids[0, : len(seq) * 8]  # 8× T2U upsampling
+        new_units, total = ctc_prefix_frames(valid, emitted_units,
+                                             cfg.ctc_blank)
         return new_units, total
 
     def synthesize_tail(self, all_units: List[int], n_new_units: int) -> np.ndarray:

@@ -115,20 +115,24 @@ def build_cloning_banks(
 
 
 def make_pair_sampler(
-    content_bank: Array,   # [S, C, L] device-resident
-    ref_bank: Array,       # [S, C, L_ref]
-    lengths: Array,        # [C]
+    lengths: Array,        # [C] true per-content lengths
     segment_samples: int,
     ref_samples: int,
     batch_size: int,
-) -> Callable[[Array], dict]:
-    """``sample(key) -> {input, target, ref}`` — input/target are the
-    SAME (content, offset) crop rendered by speakers A and B; ref is a
-    random crop of B's arousal-matched reference clip."""
-    S, C, _L = content_bank.shape
+) -> Callable[[Array, Array, Array], dict]:
+    """``sample(key, content_bank, ref_bank) -> {input, target, ref}`` —
+    input/target are the SAME (content, offset) crop rendered by
+    speakers A and B; ref is a random crop of B's arousal-matched
+    reference clip.
+
+    The banks are *arguments*, not closure constants: closing over
+    ~600 MB of device arrays embeds them in the lowered HLO, which the
+    relay's remote-compile endpoint rejects (HTTP 413 — observed on this
+    rig).  As arguments they are ordinary buffer parameters."""
     seg, rseg = segment_samples, ref_samples
 
-    def sample(key: Array) -> dict:
+    def sample(key: Array, content_bank: Array, ref_bank: Array) -> dict:
+        S, C = content_bank.shape[0], content_bank.shape[1]
         ks = jax.random.split(key, 5)
         c = jax.random.randint(ks[0], (batch_size,), 0, C)
         a = jax.random.randint(ks[1], (batch_size,), 0, S)
@@ -153,11 +157,11 @@ def make_cloning_train_step(
     vocoder: ModifiedVocoder,
     discs: Discriminators,
     cfg: TrainConfig,
-    sample_fn: Callable[[Array], dict],
+    sample_fn: Callable[[Array, Array, Array], dict],
     *,
     deep_feature_matching: bool = True,
     multi_steps: int = 1,
-) -> Callable[[GanTrainState, Array], Tuple[GanTrainState, dict]]:
+) -> Callable[..., Tuple[GanTrainState, dict]]:
     """The jitted cloning GAN step.  Same loss family as the
     copy-synthesis step (:mod:`hifigan_tpu.train.train_step` — LSGAN /
     hinge + FM + mel per ``/root/reference/hifigan_modified/
@@ -167,8 +171,9 @@ def make_cloning_train_step(
     tx = make_optimizer(cfg)
     w = cfg.loss_weights
 
-    def step(state: GanTrainState, key: Array):
-        batch = sample_fn(key)
+    def step(state: GanTrainState, key: Array, content_bank: Array,
+             ref_bank: Array):
+        batch = sample_fn(key, content_bank, ref_bank)
         content_mel = audio_to_mel(batch["input"], cfg)
         ref_mel = audio_to_mel(batch["ref"], cfg)
         real = batch["target"][:, : content_mel.shape[-1] * cfg.mel.hop_length]
@@ -243,8 +248,10 @@ def make_cloning_train_step(
 
     if multi_steps > 1:
 
-        def multi(state, keys):
-            state, ms = jax.lax.scan(step, state, keys, length=multi_steps)
+        def multi(state, keys, content_bank, ref_bank):
+            state, ms = jax.lax.scan(
+                lambda s, k: step(s, k, content_bank, ref_bank),
+                state, keys, length=multi_steps)
             return state, jax.tree_util.tree_map(jnp.mean, ms)
 
         return jax.jit(multi, donate_argnums=(0,))

@@ -223,7 +223,6 @@ class FormantSpeechCorpus:
         if arousal is None:
             arousal = float(rng.uniform(0.2, 1.0))
         rate = 0.85 + 0.5 * arousal            # syllables get shorter when excited
-        f0_span = prof.f0_range * (0.6 + 0.9 * arousal)
 
         # --- phone plan: words of 1-3 CV(C) syllables, with pauses ---
         plan: list[tuple[str, float]] = []   # (phone, dur_s)
@@ -241,6 +240,37 @@ class FormantSpeechCorpus:
             plan.append(("pau", float(rng.uniform(0.03, 0.15))))
         plan.append(("pau", 0.08))
 
+        audio = self._synthesize(prof, plan, arousal, rng)
+        if return_plan:
+            return audio, plan, arousal
+        return audio
+
+    def render_plan(
+        self,
+        speaker: int,
+        plan: list[tuple[str, float]],
+        *,
+        arousal: float = 0.6,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """Synthesize an *explicit* phone plan with a speaker's voice —
+        the target-language rendering path of the toy translation task
+        (translated plans become real speech, giving the unit vocoder
+        ground-truth (units, durations, waveform) triples and letting
+        ASR-BLEU run on actual audio)."""
+        prof = SpeakerProfile.from_id(speaker % self.n_speakers)
+        rng = np.random.default_rng((seed * 2_000_003 + speaker) ^ 0x5EED)
+        return self._synthesize(prof, plan, arousal, rng)
+
+    def _synthesize(
+        self,
+        prof: SpeakerProfile,
+        plan: list[tuple[str, float]],
+        arousal: float,
+        rng: np.random.Generator,
+    ) -> np.ndarray:
+        sr = self.sr
+        f0_span = prof.f0_range * (0.6 + 0.9 * arousal)
         total = sum(d for _, d in plan)
         n = int(total * sr) + 1
 
@@ -328,10 +358,7 @@ class FormantSpeechCorpus:
                 out[i0:i1] += 0.1 * murmur
 
         peak = np.abs(out).max() + 1e-9
-        audio = (0.7 * out / peak).astype(np.float32)
-        if return_plan:
-            return audio, plan, arousal
-        return audio
+        return (0.7 * out / peak).astype(np.float32)
 
 
 class FormantSpeechDataset:

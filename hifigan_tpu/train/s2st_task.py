@@ -239,7 +239,10 @@ def create_s2st_state(
     def _init(rng):
         feats = jnp.zeros((2, 64, model_cfg.input_dim))
         dec = jnp.zeros((2, 8), jnp.int32)
-        params = model.init(rng, feats, dec, chunked=True, run_vocoder=False)
+        # decoder_units_out=True so the decoder-fed T2U path and the
+        # learned transition head exist in the parameter tree
+        params = model.init(rng, feats, dec, chunked=True, run_vocoder=False,
+                            decoder_units_out=True)
         return S2STTrainState(step=jnp.zeros((), jnp.int32), params=params,
                               opt_state=tx.init(params))
 
@@ -285,7 +288,8 @@ def make_s2st_train_step(
 
         def loss_fn(params):
             out = model.apply(params, feats, dec_in, chunked=True,
-                              cross_mask=cross_mask, run_vocoder=False)
+                              cross_mask=cross_mask, run_vocoder=False,
+                              decoder_units_out=True)
             l_src = optax.ctc_loss(
                 out["source_ctc_logits"], logit_pad,
                 bank["src"][idx], bank["src_pad"][idx]).mean()
@@ -305,10 +309,34 @@ def make_s2st_train_step(
             l_dec = (nll * keep).sum() / jnp.maximum(keep.sum(), 1.0)
             acc = ((jnp.argmax(logp, -1) == dec_out) * keep).sum() / \
                 jnp.maximum(keep.sum(), 1.0)
-            total = l_src + l_tgt + l_dec + 0.5 * l_unit
+            # decoder-fed T2U (the reference agent's unit wiring,
+            # agent.py:638-679): unit CTC over the teacher-forced
+            # decoder features — trains the shared T2U to produce units
+            # consistent with the emitted text
+            du_logits = out["decoder_unit_logits"]
+            du_pad = jnp.repeat(dec_pad, du_logits.shape[1] // dec_pad.shape[1],
+                                axis=1)
+            l_unit_dec = optax.ctc_loss(
+                du_logits, du_pad,
+                bank["units"][idx], bank["units_pad"][idx]).mean()
+            # learned READ/WRITE transition head (reference HMT
+            # transition model, hmt_sim_sequence_generator.py:449-470):
+            # self-supervised label — is the decoder already right under
+            # this read prefix?  BCE over valid positions.
+            correct = (jnp.argmax(logp, -1) == dec_out).astype(jnp.float32)
+            wl = out["write_logits"]
+            l_trans = ((optax.sigmoid_binary_cross_entropy(
+                wl, jax.lax.stop_gradient(correct)) * keep).sum()
+                / jnp.maximum(keep.sum(), 1.0))
+            trans_acc = (((wl > 0) == (correct > 0.5)) * keep).sum() / \
+                jnp.maximum(keep.sum(), 1.0)
+            total = (l_src + l_tgt + l_dec + 0.5 * l_unit + 0.5 * l_unit_dec
+                     + 0.2 * l_trans)
             return total, {"src_ctc": l_src, "tgt_ctc": l_tgt,
                            "dec_ce": l_dec, "unit_ctc": l_unit,
-                           "dec_acc": acc}
+                           "unit_dec_ctc": l_unit_dec,
+                           "transition_bce": l_trans,
+                           "transition_acc": trans_acc, "dec_acc": acc}
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)

@@ -91,9 +91,10 @@ def test_cloning_banks_and_sampler():
     assert lengths.shape == (4,)
     # parallel rows: same content, different speakers, same true length
     sampler = make_pair_sampler(
-        jnp.asarray(content), jnp.asarray(ref), jnp.asarray(lengths),
-        segment_samples=512, ref_samples=512, batch_size=3)
-    batch = jax.jit(sampler)(jax.random.PRNGKey(0))
+        jnp.asarray(lengths), segment_samples=512, ref_samples=512,
+        batch_size=3)
+    batch = jax.jit(sampler)(jax.random.PRNGKey(0), jnp.asarray(content),
+                             jnp.asarray(ref))
     assert batch["input"].shape == (3, 512)
     assert batch["target"].shape == (3, 512)
     assert batch["ref"].shape == (3, 512)
@@ -127,13 +128,12 @@ def test_cloning_train_step_updates_and_identity_pairs():
         jax.random.PRNGKey(0), cfg, mel_frames=seg // cfg.mel.hop_length,
         batch_size=2)
     content, ref, lengths = build_cloning_banks(n_speakers=2, n_contents=2)
-    sampler = make_pair_sampler(
-        jnp.asarray(content), jnp.asarray(ref), jnp.asarray(lengths),
-        seg, seg, batch_size=2)
+    sampler = make_pair_sampler(jnp.asarray(lengths), seg, seg, batch_size=2)
     step = make_cloning_train_step(vocoder, discs, cfg, sampler)
     # copy to host BEFORE the step — the step donates its input state
     before = np.asarray(jax.tree_util.tree_leaves(state.gen_params)[0]).copy()
-    state, m = step(state, jax.random.PRNGKey(3))
+    state, m = step(state, jax.random.PRNGKey(3), jnp.asarray(content),
+                    jnp.asarray(ref))
     after = np.asarray(jax.tree_util.tree_leaves(state.gen_params)[0])
     assert int(state.step) == 1
     assert not np.allclose(before, after)

@@ -125,3 +125,129 @@ def test_token_f1():
     assert token_f1([1, 2, 3], [1, 2, 3]) == 1.0
     assert token_f1([1, 2], [3, 4]) == 0.0
     assert 0.0 < token_f1([1, 2, 9], [1, 2, 3]) < 1.0
+
+
+def test_decoder_fed_units_follow_text():
+    """VERDICT r2 item 7: the S2ST agent's unit stream must be a
+    function of the committed text prefix when units_from='decoder'."""
+    import jax
+    import jax.numpy as jnp
+
+    from hifigan_tpu.models.streamspeech import (
+        StreamSpeechConfig,
+        StreamSpeechS2ST,
+    )
+    from hifigan_tpu.streaming.runtime import S2STInference, S2STInferenceConfig
+
+    cfg = StreamSpeechConfig(
+        input_dim=80, hidden_dim=32, encoder_layers=1, decoder_layers=1,
+        num_heads=4, vocab_size=30, unit_vocab_size=50, chunk_size=8,
+        vocoder_hidden=32, vocoder_upsample=(4, 2),
+        ecapa_channels=32, emo_hidden=32, emo_layers=1,
+    )
+    model = StreamSpeechS2ST(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 80)),
+                        jnp.zeros((1, 8), jnp.int32))
+    inf = S2STInference(model, params, cfg=S2STInferenceConfig(
+        source_buckets=(32,), max_target_len=16, max_new_tokens=4))
+    enc = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 32))
+    u1, t1 = inf.units_from_text(enc, [5, 9, 3], 0)
+    u1b, _ = inf.units_from_text(enc, [5, 9, 3], 0)
+    assert u1 == u1b  # deterministic
+    u2, _ = inf.units_from_text(enc, [5, 9, 3, 11, 7], 0)
+    # longer text prefix ⇒ unit stream extends (prefix-consistent)
+    assert len(u2) >= len(u1)
+    # prefix continuation: consuming emitted units yields only the tail
+    if u1:
+        tail, total = inf.units_from_text(enc, [5, 9, 3], len(u1))
+        assert tail == [] or len(tail) < len(u1) or total >= t1
+    # empty text ⇒ no units
+    assert inf.units_from_text(enc, [], 0) == ([], 0)
+
+
+def test_model_decoder_units_single_pass():
+    import jax
+    import jax.numpy as jnp
+
+    from hifigan_tpu.models.streamspeech import (
+        StreamSpeechConfig,
+        StreamSpeechS2ST,
+    )
+
+    cfg = StreamSpeechConfig(
+        input_dim=80, hidden_dim=32, encoder_layers=1, decoder_layers=1,
+        num_heads=4, vocab_size=30, unit_vocab_size=50, chunk_size=8,
+        vocoder_hidden=32, vocoder_upsample=(4, 2),
+        ecapa_channels=32, emo_hidden=32, emo_layers=1,
+    )
+    model = StreamSpeechS2ST(cfg)
+    mel = jnp.zeros((1, 16, 80))
+    tgt = jnp.zeros((1, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), mel, tgt,
+                        decoder_units_out=True)
+    out = model.apply(params, mel, tgt, run_vocoder=False,
+                      decoder_units_out=True)
+    assert out["decoder_unit_logits"].shape == (1, 64, 50)  # 8× upsample
+    # matches the standalone method
+    du = model.apply(params, out["encoder_outputs"], tgt,
+                     method=lambda m, e, t: m.decoder_units(e, t))
+    np.testing.assert_allclose(np.asarray(du),
+                               np.asarray(out["decoder_unit_logits"]),
+                               atol=1e-5)
+
+
+def test_learned_transition_head_and_hmt_mode():
+    """VERDICT r2 item 8: transition head exists, trains (BCE in the
+    multitask step), and drives the HMT READ/WRITE gate."""
+    import jax
+    import jax.numpy as jnp
+
+    from hifigan_tpu.models.streamspeech import (
+        StreamSpeechConfig,
+        StreamSpeechS2ST,
+    )
+    from hifigan_tpu.streaming.runtime import S2STInference, S2STInferenceConfig
+
+    cfg = StreamSpeechConfig(
+        input_dim=80, hidden_dim=32, encoder_layers=1, decoder_layers=1,
+        num_heads=4, vocab_size=30, unit_vocab_size=50, chunk_size=8,
+        vocoder_hidden=32, vocoder_upsample=(4, 2),
+        ecapa_channels=32, emo_hidden=32, emo_layers=1,
+    )
+    model = StreamSpeechS2ST(cfg)
+    mel = jnp.zeros((1, 16, 80))
+    tgt = jnp.zeros((1, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), mel, tgt, run_vocoder=False,
+                        decoder_units_out=True)
+    assert "transition_head" in params["params"]
+    out = model.apply(params, mel, tgt, run_vocoder=False,
+                      decoder_units_out=True)
+    assert out["write_logits"].shape == (1, 8)
+    # decoder_scores method matches
+    lg, wl = model.apply(params, out["encoder_outputs"], tgt,
+                         method=lambda m, e, t: m.decoder_scores(e, t))
+    np.testing.assert_allclose(np.asarray(wl), np.asarray(out["write_logits"]),
+                               atol=1e-5)
+    # HMT decode with the learned gate runs end-to-end
+    inf = S2STInference(model, params, cfg=S2STInferenceConfig(
+        source_buckets=(32,), max_target_len=16, max_new_tokens=3))
+    enc = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 32))
+    st = inf.continue_text_hmt(enc, [], src_len=8, source_finished=True,
+                               transition="learned")
+    assert st.best() is not None
+
+
+def test_s2st_step_reports_transition_metrics():
+    from dataclasses import replace
+
+    cfg = S2STTaskConfig(n_utterances=4, n_speakers=2, batch_size=2,
+                         max_seconds=5.0, warmup_steps=1)
+    model_cfg = replace(small_config(), hidden_dim=32, encoder_layers=1,
+                        decoder_layers=1, num_heads=4, chunk_size=8)
+    bank = {k: jnp.asarray(v) for k, v in build_s2st_bank(cfg).items()}
+    state, model, tx = create_s2st_state(jax.random.PRNGKey(0), model_cfg, cfg)
+    step = make_s2st_train_step(model, tx, cfg, bank)
+    _state, m = step(state, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["transition_bce"]))
+    assert np.isfinite(float(m["unit_dec_ctc"]))
+    assert 0.0 <= float(m["transition_acc"]) <= 1.0
