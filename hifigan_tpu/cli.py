@@ -850,6 +850,137 @@ def cmd_eval_clone(args):
     print(json.dumps(summary, indent=2))
 
 
+def cmd_eval_s2st(args):
+    """Streaming S2ST evaluation over held-out utterances: per-policy
+    text token-F1, Average Lagging, and offline ASR-BLEU of the output
+    speech (self-trained CTC ASR backend — see
+    :class:`hifigan_tpu.eval.asr.CTCTranscriber`).  Produces the
+    AL/quality tradeoff table across stride-n / wait-k / HMT
+    (confidence and learned transition) policies."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from hifigan_tpu.eval.asr import CTCTranscriber
+    from hifigan_tpu.eval.metrics import corpus_bleu
+    from hifigan_tpu.models.code_vocoder import CodeVocoder, CodeVocoderConfig
+    from hifigan_tpu.models.streamspeech import StreamSpeechConfig
+    from hifigan_tpu.streaming import run_streaming_session
+    from hifigan_tpu.streaming.agents import S2STAgent, S2TTAgent, WaitkS2TTAgent
+    from hifigan_tpu.streaming.runtime import S2STInference, S2STInferenceConfig
+    from hifigan_tpu.train.checkpoint import CheckpointManager
+    from hifigan_tpu.train.corpus import PHONES, FormantSpeechCorpus, plan_phone_ids
+    from hifigan_tpu.train.s2st_task import (
+        TOKEN_OFFSET,
+        S2STTaskConfig,
+        create_s2st_state,
+        token_f1,
+        translate,
+    )
+
+    with open(os.path.join(args.checkpoint_dir,
+                           "streamspeech_config.json")) as f:
+        d = json.load(f)
+    d["vocoder_upsample"] = tuple(d["vocoder_upsample"])
+    cfg = StreamSpeechConfig(**d)
+    state, model, _tx = create_s2st_state(
+        jax.random.PRNGKey(0), cfg, S2STTaskConfig())
+    state = CheckpointManager(args.checkpoint_dir).restore(state)
+    log.info("s2st stack: step %d", int(state.step))
+
+    cv = cvp = None
+    if args.unit_vocoder and os.path.isdir(args.unit_vocoder):
+        from hifigan_tpu.train import TrainConfig
+        from hifigan_tpu.train.unit_vocoder import (
+            UnitVocoderTaskConfig,
+            create_unit_vocoder_state,
+        )
+
+        with open(os.path.join(args.unit_vocoder, "code_config.json")) as f:
+            cd = json.load(f)
+        cd["upsample_factors"] = tuple(cd["upsample_factors"])
+        task = UnitVocoderTaskConfig(code=CodeVocoderConfig(**cd))
+        uv_state, cv, _ = create_unit_vocoder_state(
+            jax.random.PRNGKey(0), TrainConfig(), task)
+        uv_state = CheckpointManager(args.unit_vocoder).restore(uv_state)
+        cvp = uv_state.gen_params
+        log.info("unit vocoder: step %d", int(uv_state.step))
+    inf = S2STInference(model, state.params, cv, cvp,
+                        S2STInferenceConfig(max_target_len=64))
+
+    def detok(ids):
+        return " ".join(
+            PHONES[i - TOKEN_OFFSET + 1]
+            if 1 <= i - TOKEN_OFFSET + 1 < len(PHONES) else f"<{i}>"
+            for i in ids)
+
+    corpus = FormantSpeechCorpus(n_speakers=32)
+    samples = []
+    for i in range(args.samples):
+        wav, plan, _ar = corpus.utterance(
+            i % 32, 0, content=2_000_000 + i, return_plan=True)
+        ref_ids = translate(plan_phone_ids(plan))
+        samples.append((wav, ref_ids))
+
+    policies = {
+        "stride1_greedy": (S2TTAgent, {"stride_n": 1}),
+        "stride2_greedy": (S2TTAgent, {"stride_n": 2}),
+        "waitk3": (WaitkS2TTAgent, {"k1": 3}),
+        "hmt_confidence": (S2TTAgent, {"decode": "hmt",
+                                       "hmt_transition": "confidence"}),
+        "hmt_learned": (S2TTAgent, {"decode": "hmt",
+                                    "hmt_transition": "learned"}),
+    }
+    report = {"checkpoint_dir": args.checkpoint_dir,
+              "restored_step": int(state.step), "policies": {}}
+    asr = None
+    for name, (cls, kw) in policies.items():
+        f1s, als = [], []
+        for wav, ref_ids in samples:
+            agent = cls(inf, detokenize=detok, **kw)
+            res = run_streaming_session(agent, wav, sample_rate=16_000,
+                                        segment_size_ms=args.segment_size)
+            hyp = list(getattr(agent, "committed_text_ids", []))
+            f1s.append(token_f1(hyp, ref_ids))
+            als.append(res.average_lagging_ms)
+        report["policies"][name] = {
+            "token_f1": round(float(np.mean(f1s)), 4),
+            "average_lagging_ms": round(float(np.mean(als)), 1),
+            "n": len(samples),
+        }
+        log.info("%s: F1=%.3f AL=%.0fms", name,
+                 report["policies"][name]["token_f1"],
+                 report["policies"][name]["average_lagging_ms"])
+
+    # speech-output ASR-BLEU (s2st agent end-to-end, offline CTC ASR)
+    if cv is not None:
+        try:
+            asr = CTCTranscriber(args.checkpoint_dir)
+        except Exception:
+            log.exception("CTC transcriber unavailable")
+        if asr is not None:
+            hyps, refs, als = [], [], []
+            for wav, ref_ids in samples:
+                agent = S2STAgent(inf, detokenize=detok)
+                res = run_streaming_session(agent, wav, sample_rate=16_000,
+                                            segment_size_ms=args.segment_size)
+                out = res.waveform
+                hyps.append(asr(out) if len(out) else "")
+                refs.append(detok(list(ref_ids)))
+                als.append(res.average_lagging_ms)
+            report["s2st_asr_bleu"] = {
+                "bleu": round(corpus_bleu(hyps, refs), 2),
+                "average_lagging_ms": round(float(np.mean(als)), 1),
+                "n": len(samples),
+                "example_hyp": hyps[0][:120],
+                "example_ref": refs[0][:120],
+            }
+            log.info("s2st ASR-BLEU %.2f", report["s2st_asr_bleu"]["bleu"])
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(report, f, indent=2)
+    print(json.dumps(report))
+
+
 def cmd_simulate(args):
     jax = _setup_jax()
     import jax.numpy as jnp
@@ -1197,12 +1328,33 @@ def main(argv=None):
                     help="keep the per-pair transfer table in the report")
     ec.set_defaults(fn=cmd_eval_clone)
 
+    es = sub.add_parser("eval-s2st",
+                        help="streaming S2ST eval: per-policy token-F1 "
+                             "+ AL + offline ASR-BLEU tradeoff table")
+    es.add_argument("--checkpoint_dir", default="runs/s2st")
+    es.add_argument("--unit_vocoder", default="runs/unit_vocoder")
+    es.add_argument("--samples", type=int, default=8)
+    es.add_argument("--segment_size", type=int, default=320)
+    es.add_argument("--output", default=None)
+    es.set_defaults(fn=cmd_eval_s2st)
+
     s = sub.add_parser("simulate", help="run a streaming agent session")
     s.add_argument("--agent", choices=["asr", "s2tt", "s2st", "waitk-s2tt", "waitk-s2st"],
                    default="s2st")
     s.add_argument("--audio", default=None)
     s.add_argument("--segment_size", type=int, default=320)
     s.add_argument("--tiny", action="store_true")
+    s.add_argument("--checkpoint_dir", default=None,
+                   help="trained StreamSpeech checkpoint (default: "
+                        "runs/s2st when present)")
+    s.add_argument("--unit_vocoder", default=None,
+                   help="trained CodeHiFiGAN checkpoint (default: "
+                        "runs/unit_vocoder when present)")
+    s.add_argument("--decode", choices=["greedy", "hmt"], default=None)
+    s.add_argument("--hmt_transition", choices=["confidence", "learned"],
+                   default="confidence")
+    s.add_argument("--seed", type=int, default=0,
+                   help="held-out utterance selector when no --audio")
     s.set_defaults(fn=cmd_simulate)
 
     v = sub.add_parser("serve", help="start the translation app server")

@@ -78,9 +78,101 @@ class NullTranscriber:
         return self.table.get(key, "")
 
 
+class CTCTranscriber:
+    """Self-trained offline CTC ASR: the multitask S2ST stack's *source
+    CTC head* (trained on formant phone transcripts by ``cli
+    train-s2st``) transcribes audio to phone-name strings — the network
+    ASR the reference ASR-BLEU toolkit requires
+    (``/root/reference/asr_bleu/utils.py:47-306``) replaced by a model
+    this framework trains itself, so ASR-BLEU runs with zero egress."""
+
+    BUCKETS = (128, 256, 400, 512, 768, 1024)
+
+    def __init__(self, checkpoint_dir: str = "runs/s2st"):
+        import json as _json
+        import os as _os
+
+        import jax
+        import jax.numpy as jnp
+
+        from hifigan_tpu.models.streamspeech import StreamSpeechConfig
+        from hifigan_tpu.train.checkpoint import CheckpointManager
+        from hifigan_tpu.train.s2st_task import (
+            S2STTaskConfig,
+            batched_fbank,
+            create_s2st_state,
+        )
+
+        cfg_path = _os.path.join(checkpoint_dir, "streamspeech_config.json")
+        with open(cfg_path) as f:
+            d = _json.load(f)
+        d["vocoder_upsample"] = tuple(d["vocoder_upsample"])
+        self.model_cfg = StreamSpeechConfig(**d)
+        self.task_cfg = S2STTaskConfig()
+        state, model, _tx = create_s2st_state(
+            jax.random.PRNGKey(0), self.model_cfg, self.task_cfg)
+        state = CheckpointManager(checkpoint_dir).restore(state)
+        self.params = state.params
+        self.step = int(state.step)
+        hop, win = self.task_cfg.hop, self.task_cfg.win
+
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("n_frames",))
+        def _transcribe(params, audio, valid, n_frames):
+            feats = batched_fbank(audio, n_frames, hop, win,
+                                  valid_frames=valid)
+            enc = model.apply(params, feats,
+                              method=lambda m, f: m.encoder(f, chunked=True))
+            logits = model.apply(params, enc,
+                                 method=lambda m, e: m.source_ctc(e))
+            return jnp.argmax(logits, axis=-1)
+
+        self._transcribe = _transcribe
+        self._jnp = jnp
+
+    def __call__(self, audio: np.ndarray) -> str:
+        from hifigan_tpu.streaming.decode import ctc_greedy_collapse
+        from hifigan_tpu.train.corpus import PHONES
+        from hifigan_tpu.train.s2st_task import TOKEN_OFFSET
+
+        hop, win = self.task_cfg.hop, self.task_cfg.win
+        frames = max(1, (len(audio) - win) // hop + 1)
+        bucket = next((b for b in self.BUCKETS if b >= frames),
+                      ((frames + 127) // 128) * 128)
+        buf = np.zeros(( (bucket - 1) * hop + win,), np.float32)
+        buf[: len(audio)] = audio[: len(buf)]
+        ids = np.asarray(self._transcribe(
+            self.params, self._jnp.asarray(buf[None]),
+            self._jnp.asarray([frames]), bucket))[0, :frames]
+        tokens, _frames = ctc_greedy_collapse(ids, 0)
+        names = []
+        for t in tokens:
+            p = t - TOKEN_OFFSET + 1
+            if 1 <= p < len(PHONES):
+                names.append(PHONES[p])
+        return " ".join(names)
+
+
 def make_transcriber(lang: str = "en", model_name: Optional[str] = None):
-    """Best-effort transcriber: HF when weights are reachable, else None."""
+    """Best-effort transcriber: the self-trained CTC backend for the
+    corpus phone language, HF for natural languages when weights are
+    reachable, else None."""
+    import os as _os
+
+    if lang in ("formant", "phone"):
+        try:
+            return CTCTranscriber()
+        except Exception:
+            return None
     try:
         return HFTranscriber(lang, model_name)
     except Exception:
+        # offline fallback: the self-trained CTC backend still lets the
+        # metric execute end-to-end on corpus speech
+        if _os.path.isdir("runs/s2st"):
+            try:
+                return CTCTranscriber()
+            except Exception:
+                return None
         return None

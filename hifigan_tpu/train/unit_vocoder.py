@@ -54,8 +54,15 @@ from hifigan_tpu.train.train_step import audio_to_mel
 Array = jax.Array
 
 UNIT_PLAN_KEY_BASE = 70_000_000
-FRAME_SAMPLES = 256          # 16 ms at 16 kHz (upsample 8·8·2·2)
+FRAME_SAMPLES = 256          # default 16 ms at 16 kHz (upsample 8·8·2·2)
 FRAME_SECONDS = FRAME_SAMPLES / 16_000
+
+
+def upsample_ratio(code: CodeVocoderConfig) -> int:
+    r = 1
+    for f in code.upsample_factors:
+        r *= f
+    return r
 
 
 def translate_plan(plan: list[tuple[str, float]]) -> list[tuple[str, float]]:
@@ -79,7 +86,8 @@ def translate_plan(plan: list[tuple[str, float]]) -> list[tuple[str, float]]:
 
 
 def plan_units_durations(
-    plan: list[tuple[str, float]], max_dur: int
+    plan: list[tuple[str, float]], max_dur: int,
+    frame_seconds: float = FRAME_SECONDS,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Units (phone ids, pau=0) + per-unit frame durations by cumulative
     rounding (total drift < 1 frame)."""
@@ -87,7 +95,7 @@ def plan_units_durations(
     cum_s, cum_f = 0.0, 0
     for phone, dur in plan:
         cum_s += dur
-        boundary = int(round(cum_s / FRAME_SECONDS))
+        boundary = int(round(cum_s / frame_seconds))
         d = max(1, min(boundary - cum_f, max_dur))
         cum_f += d
         units.append(PHONE_TO_ID[phone])
@@ -106,9 +114,17 @@ class UnitVocoderTaskConfig:
         unit_vocab_size=32, embed_dim=128, max_duration_per_unit=16)
 
     @property
+    def frame_samples(self) -> int:
+        return upsample_ratio(self.code)
+
+    @property
+    def frame_seconds(self) -> float:
+        return self.frame_samples / 16_000
+
+    @property
     def window_samples(self) -> int:
         return (self.window_units * self.code.max_duration_per_unit
-                * FRAME_SAMPLES)
+                * self.frame_samples)
 
 
 def build_unit_vocoder_bank(cfg: UnitVocoderTaskConfig, *,
@@ -130,7 +146,8 @@ def build_unit_vocoder_bank(cfg: UnitVocoderTaskConfig, *,
             return_plan=True)
         draw += 1
         t_plan = translate_plan(plan)
-        u, d = plan_units_durations(t_plan, cfg.code.max_duration_per_unit)
+        u, d = plan_units_durations(t_plan, cfg.code.max_duration_per_unit,
+                                    cfg.frame_seconds)
         if len(u) > U or len(u) < cfg.window_units:
             continue
         wav = corpus.render_plan(spk, t_plan, arousal=ar, seed=idx_offset + i)
@@ -169,6 +186,7 @@ def make_unit_vocoder_train_step(
     B = task_cfg.batch_size
     Uw = task_cfg.window_units
     Sw = task_cfg.window_samples
+    fs = task_cfg.frame_samples
 
     def sample(key: Array, bank: dict) -> dict:
         N = bank["units"].shape[0]
@@ -180,7 +198,7 @@ def make_unit_vocoder_train_step(
         def get(row, s):
             u = jax.lax.dynamic_slice(bank["units"][row], (s,), (Uw,))
             d = jax.lax.dynamic_slice(bank["durs"][row], (s,), (Uw,))
-            start_sample = bank["cumdur"][row, s] * FRAME_SAMPLES
+            start_sample = bank["cumdur"][row, s] * fs
             a = jax.lax.dynamic_slice(bank["wav"][row], (start_sample,), (Sw,))
             return u, d, a
 
@@ -190,7 +208,7 @@ def make_unit_vocoder_train_step(
     def step(state: GanTrainState, key: Array, bank: dict):
         batch = sample(key, bank)
         durs = batch["durs"]
-        n_valid = durs.sum(axis=1) * FRAME_SAMPLES  # [B]
+        n_valid = durs.sum(axis=1) * fs  # [B]
         smask = (jnp.arange(Sw)[None, :] < n_valid[:, None]).astype(jnp.float32)
         real = batch["audio"] * smask
 
