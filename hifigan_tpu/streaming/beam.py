@@ -236,6 +236,7 @@ class HmtHypothesis:
     num_read: int              # source positions consumed so far (monotone)
     reads: List[int]           # read position at which each token was written
     finished: bool = False
+    row: int = 0               # KV-cache row (stepper mode)
 
     def normalized_score(self, length_penalty: float) -> float:
         n = max(1, len(self.tokens))
@@ -258,6 +259,7 @@ class HmtBeamState:
 def hmt_beam_search(
     score_fn,
     *,
+    stepper=None,
     prefix: List[int],
     src_len: int,
     source_finished: bool,
@@ -291,6 +293,9 @@ def hmt_beam_search(
         return early with ``need_read=True`` instead of writing
         low-confidence tokens (the reference's ``return_read_flag``).
       state: resume from a previous pass (beams keep tokens/reads/scores).
+      stepper: optional KV-cached scorer (``prefill``/``step`` protocol —
+        :class:`hifigan_tpu.streaming.runtime._HmtKvStepper`); replaces
+        ``score_fn``'s full re-decode with O(max_len) incremental steps.
 
     Returns the updated :class:`HmtBeamState`.
     """
@@ -301,6 +306,7 @@ def hmt_beam_search(
             finished=[],
         )
     state.need_read = False
+    prefilled = False
 
     for _ in range(max_new_tokens):
         live = [b for b in state.beams if not b.finished]
@@ -308,37 +314,68 @@ def hmt_beam_search(
             break
         # candidate read positions per beam: num_read, +stride, … (clamped,
         # padded by repetition so the batch shape is static)
-        rows_tokens = np.zeros((len(live) * cands_per_token, max_len), np.int32)
-        rows_read = np.zeros(len(live) * cands_per_token, np.int64)
         row_meta = []  # (beam index, read_len)
-        for bi, b in enumerate(live):
-            seq = (seed + b.tokens)[:max_len]
-            for k in range(cands_per_token):
-                r = min(src_len, b.num_read + k * read_stride)
-                row = bi * cands_per_token + k
-                rows_tokens[row, : len(seq)] = seq
-                rows_read[row] = max(1, r)
-                row_meta.append((bi, r))
-        scored = score_fn(rows_tokens, rows_read)
-        write_probs = None
-        if isinstance(scored, tuple):
-            logprobs, write_probs = scored
-            logprobs = np.asarray(logprobs)
-            write_probs = np.asarray(write_probs)
+        if stepper is not None:
+            if not prefilled:
+                n = min(len(seed) + len(live[0].tokens), max_len)
+                toks = np.zeros((stepper.beam_rows, max_len), np.int32)
+                reads0 = np.ones(stepper.beam_rows, np.int32)
+                for bi, b in enumerate(live):
+                    seq = (seed + b.tokens)[:max_len]
+                    toks[bi, : len(seq)] = seq
+                    reads0[bi] = max(1, b.num_read)
+                    b.row = bi
+                stepper.prefill(toks, reads0, n)
+                prefilled = True
+            R = stepper.step_rows
+            last_toks = np.zeros(R, np.int32)
+            parents = np.zeros(R, np.int32)
+            rows_read = np.ones(R, np.int64)
+            for bi, b in enumerate(live):
+                seq = (seed + b.tokens)[:max_len]
+                for k in range(cands_per_token):
+                    r = min(src_len, b.num_read + k * read_stride)
+                    row = bi * cands_per_token + k
+                    last_toks[row] = seq[-1]
+                    parents[row] = b.row
+                    rows_read[row] = max(1, r)
+                    row_meta.append((bi, r))
+            logprobs, write_probs = stepper.step(last_toks, parents, rows_read)
         else:
-            logprobs = np.asarray(scored)
+            rows_tokens = np.zeros((len(live) * cands_per_token, max_len), np.int32)
+            rows_read = np.zeros(len(live) * cands_per_token, np.int64)
+            for bi, b in enumerate(live):
+                seq = (seed + b.tokens)[:max_len]
+                for k in range(cands_per_token):
+                    r = min(src_len, b.num_read + k * read_stride)
+                    row = bi * cands_per_token + k
+                    rows_tokens[row, : len(seq)] = seq
+                    rows_read[row] = max(1, r)
+                    row_meta.append((bi, r))
+            scored = score_fn(rows_tokens, rows_read)
+            write_probs = None
+            if isinstance(scored, tuple):
+                logprobs, write_probs = scored
+                logprobs = np.asarray(logprobs)
+                write_probs = np.asarray(write_probs)
+            else:
+                logprobs = np.asarray(scored)
         pos = [min(len(seed + b.tokens), max_len) - 1 for b in live]
 
         candidates: List[HmtHypothesis] = []
         beam_confident = [False] * len(live)
         for row, (bi, r) in enumerate(row_meta):
             b = live[bi]
-            lp = logprobs[row, pos[bi]].copy()
+            if stepper is not None:
+                lp = logprobs[row].copy()
+            else:
+                lp = logprobs[row, pos[bi]].copy()
             if not source_finished:
                 lp[eos_id] = -np.inf
             if write_probs is not None:
                 # learned transition gate p(write | state, read prefix)
-                p_gate = float(write_probs[row, pos[bi]])
+                p_gate = (float(write_probs[row]) if stepper is not None
+                          else float(write_probs[row, pos[bi]]))
             else:
                 p_gate = float(np.exp(lp.max()))
             fully_read = r >= src_len
@@ -358,6 +395,7 @@ def hmt_beam_search(
                     b.score + float(lp[tok]) - read_penalty * (r - b.num_read),
                     r,
                     b.reads + [r],
+                    row=row,
                 )
                 if int(tok) == eos_id or len(seed) + len(cand.tokens) >= max_len:
                     cand.finished = True

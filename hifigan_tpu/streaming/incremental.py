@@ -191,10 +191,13 @@ def decode_step(
     cache: DecoderCache,
     token: Array,  # [B] int32 — token at position cache.index
     cross_mask: Array | None = None,  # [B|1, 1, 1, S] bool
-) -> tuple[Array, DecoderCache]:
+    return_features: bool = False,
+):
     """One incremental decode step: O(max_len) attention, O(1) in prefix
     re-computation.  Returns logits ``[B, vocab]`` for the next token
-    and the cache advanced by one position."""
+    and the cache advanced by one position (+ the pre-projection
+    decoder features ``[B, D]`` when ``return_features`` — feeds the
+    learned HMT transition head)."""
     B = token.shape[0]
     idx = cache.index
     emb = params["token_embedding"]["embedding"][token[:, None]]  # [B,1,D]
@@ -222,7 +225,10 @@ def decode_step(
         x = _decoder_layer(lp, x, k_buf, v_buf, self_mask, ck_all[i], cv_all[i],
                            cross_mask)
     logits = _dense(params["output_proj"], x)[:, 0]
-    return logits, DecoderCache(k=jnp.stack(ks), v=jnp.stack(vs), index=idx + 1)
+    new_cache = DecoderCache(k=jnp.stack(ks), v=jnp.stack(vs), index=idx + 1)
+    if return_features:
+        return logits, new_cache, x[:, 0]
+    return logits, new_cache
 
 
 def with_index(cache: DecoderCache, index) -> DecoderCache:

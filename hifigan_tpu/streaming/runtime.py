@@ -90,6 +90,50 @@ class DecoderSession:
         return logits
 
 
+class _HmtKvStepper:
+    """KV-cached scorer for :func:`hifigan_tpu.streaming.beam.hmt_beam_search`.
+
+    ``prefill(tokens, read_lens, n)`` fills a fresh cache for the
+    committed prefix (per-row read masks); ``step(last_tokens, parents,
+    read_lens)`` gathers cache rows by beam parent, (re-)processes each
+    row's last token under its candidate read mask, and returns
+    next-token log-probs (+ learned write probabilities).  Mirrors the
+    reference's incremental HMT-Sim decoding
+    (``/root/reference/agent/mt/hmt_sim_sequence_generator.py`` with
+    fairseq incremental states)."""
+
+    def __init__(self, inf: "S2STInference", enc, *, learned: bool,
+                 beam_rows: int, step_rows: int):
+        self.inf = inf
+        self.enc = enc
+        self.learned = learned
+        self.beam_rows = beam_rows
+        self.step_rows = step_rows
+        self.ckv = inf._cross_kv(inf.params, enc)
+        self.cache = None
+
+    def prefill(self, tokens: np.ndarray, read_lens: np.ndarray, n: int):
+        cache = inc.init_cache(self.inf.decoder_spec, tokens.shape[0],
+                               self.inf.cfg.max_target_len)
+        cache = self.inf._hmt_prefill(
+            self.inf.params, self.ckv, jnp.asarray(tokens, jnp.int32),
+            cache, jnp.asarray(np.maximum(read_lens, 1), jnp.int32))
+        # the last committed position is re-stepped under candidate
+        # read masks in the first beam iteration
+        self.cache = inc.with_index(cache, max(n - 1, 0))
+
+    def step(self, last_tokens: np.ndarray, parents: np.ndarray,
+             read_lens: np.ndarray):
+        fn = (self.inf._hmt_kv_step_learned if self.learned
+              else self.inf._hmt_kv_step_conf)
+        lp, wp, self.cache = fn(
+            self.inf.params, self.ckv, self.cache,
+            jnp.asarray(last_tokens, jnp.int32),
+            jnp.asarray(parents, jnp.int32),
+            jnp.asarray(np.maximum(read_lens, 1), jnp.int32))
+        return np.asarray(lp), (np.asarray(wp) if wp is not None else None)
+
+
 def _bucket(n: int, align: int, buckets: Sequence[int]) -> int:
     n = ((n + align - 1) // align) * align
     for b in buckets:
@@ -207,6 +251,45 @@ class S2STInference:
                     jax.nn.sigmoid(write_logits))
 
         self._decode_scores_hmt = _decode_scores_hmt
+
+        @jax.jit
+        def _hmt_prefill(params, ckv, tokens, cache, read_lens):
+            """Fill the self-K/V cache for the committed prefix under
+            per-row read masks (the KV-cached HMT path's per-call
+            prefill)."""
+            ckv_b = _bcast_ckv(ckv, tokens.shape[0])
+            S = ckv[0].shape[2]
+            cross = (jnp.arange(S)[None, None, None, :]
+                     < read_lens[:, None, None, None])
+            _logits, cache = inc.prefill(
+                params["params"]["text_decoder"], spec, ckv_b, tokens,
+                cache, cross)
+            return cache
+
+        self._hmt_prefill = _hmt_prefill
+
+        def _make_hmt_kv_step(learned: bool):
+            @jax.jit
+            def _step(params, ckv, cache, tokens, parents, read_lens):
+                ckv_b = _bcast_ckv(ckv, tokens.shape[0])
+                S = ckv[0].shape[2]
+                cross = (jnp.arange(S)[None, None, None, :]
+                         < read_lens[:, None, None, None])
+                cache = inc.gather_beams(cache, parents)
+                logits, cache, feats = inc.decode_step(
+                    params["params"]["text_decoder"], spec, ckv_b, cache,
+                    tokens, cross, return_features=True)
+                lp = jax.nn.log_softmax(logits, axis=-1)
+                if learned:
+                    tp = params["params"]["transition_head"]
+                    wl = feats @ tp["kernel"][:, 0] + tp["bias"][0]
+                    return lp, jax.nn.sigmoid(wl), cache
+                return lp, None, cache
+
+            return _step
+
+        self._hmt_kv_step_conf = _make_hmt_kv_step(False)
+        self._hmt_kv_step_learned = _make_hmt_kv_step(True)
 
         # --- incremental (KV-cached) decoding programs ---
         mcfg = model.config
@@ -451,6 +534,7 @@ class S2STInference:
         write_threshold: float = 0.5,
         read_penalty: float = 0.1,
         transition: str = "confidence",
+        kv_cached: bool = True,
     ):
         """HMT-class simultaneous beam continuation (reference
         ``hmt_sim_sequence_generator.py`` capability — see
@@ -462,10 +546,40 @@ class S2STInference:
         ``transition="learned"`` gates READ/WRITE with the trained
         transition head (requires a checkpoint trained with
         :mod:`hifigan_tpu.train.s2st_task`); ``"confidence"`` uses the
-        max-token-probability heuristic."""
+        max-token-probability heuristic.
+
+        ``kv_cached=True`` (default): the committed prefix is prefilled
+        once per policy call and each beam iteration is one O(max_len)
+        incremental step over all (beam × read-candidate) rows — the
+        fairseq incremental-state HMT behaviour (stale-prefix states
+        under historical read positions) instead of re-decoding the
+        full buffer per iteration."""
         from hifigan_tpu.streaming import beam as beam_mod
 
         cfg = self.cfg
+
+        if kv_cached:
+            stepper = _HmtKvStepper(
+                self, enc, learned=(transition == "learned"),
+                beam_rows=beam_size,
+                step_rows=beam_size * cands_per_token)
+            return beam_mod.hmt_beam_search(
+                None,
+                stepper=stepper,
+                prefix=prefix_ids,
+                src_len=src_len,
+                source_finished=source_finished,
+                state=state,
+                beam_size=beam_size,
+                cands_per_token=cands_per_token,
+                read_stride=read_stride or self.chunk,
+                max_new_tokens=max_new_tokens or cfg.max_new_tokens,
+                max_len=cfg.max_target_len,
+                bos_id=cfg.bos_id,
+                eos_id=cfg.eos_id,
+                write_threshold=write_threshold,
+                read_penalty=read_penalty,
+            )
 
         if transition == "learned":
 

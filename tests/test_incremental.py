@@ -145,3 +145,62 @@ def test_kv_beam_matches_full_beam():
         kv = inf.continue_text_beam(enc, prefix, beam_size=3,
                                     max_new_tokens=5, kv_cached=True)
         assert kv == full, (prefix, kv, full)
+
+
+def _tiny_inf(decoder_layers=1):
+    import jax
+    import jax.numpy as jnp
+
+    from hifigan_tpu.models.streamspeech import (
+        StreamSpeechConfig,
+        StreamSpeechS2ST,
+    )
+    from hifigan_tpu.streaming.runtime import S2STInference, S2STInferenceConfig
+
+    cfg = StreamSpeechConfig(
+        input_dim=80, hidden_dim=32, encoder_layers=1,
+        decoder_layers=decoder_layers, num_heads=4, vocab_size=30,
+        unit_vocab_size=50, chunk_size=8, vocoder_hidden=32,
+        vocoder_upsample=(4, 2), ecapa_channels=32, emo_hidden=32,
+        emo_layers=1)
+    model = StreamSpeechS2ST(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 80)),
+                        jnp.zeros((1, 8), jnp.int32), decoder_units_out=True)
+    return S2STInference(model, params, cfg=S2STInferenceConfig(
+        source_buckets=(32,), max_target_len=24, max_new_tokens=6))
+
+
+def test_hmt_kv_matches_full_single_layer():
+    """With a 1-layer decoder the cached prefix states carry no
+    cross-attention dependence, so the KV-cached HMT path must match the
+    full-recompute path exactly (tokens and reads)."""
+    import jax
+
+    inf = _tiny_inf(decoder_layers=1)
+    enc = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 32))
+    for src_len, fin in ((8, False), (16, True)):
+        full = inf.continue_text_hmt(
+            enc, [], src_len=src_len, source_finished=fin,
+            max_new_tokens=4, kv_cached=False)
+        kv = inf.continue_text_hmt(
+            enc, [], src_len=src_len, source_finished=fin,
+            max_new_tokens=4, kv_cached=True)
+        fb, kb = full.best(), kv.best()
+        assert fb.tokens == kb.tokens, (src_len, fin, fb.tokens, kb.tokens)
+        assert fb.reads == kb.reads
+
+
+def test_hmt_kv_runs_multilayer_and_learned():
+    """Multi-layer + learned-transition KV path executes and is
+    resumable across policy calls."""
+    import jax
+
+    inf = _tiny_inf(decoder_layers=2)
+    enc = jax.random.normal(jax.random.PRNGKey(4), (1, 16, 32))
+    st = inf.continue_text_hmt(enc, [], src_len=8, source_finished=False,
+                               max_new_tokens=3, kv_cached=True,
+                               transition="learned")
+    st2 = inf.continue_text_hmt(enc, [], src_len=16, source_finished=True,
+                                state=st, max_new_tokens=3, kv_cached=True,
+                                transition="learned")
+    assert st2.best() is not None
