@@ -92,6 +92,15 @@ class EncoderTrainConfig:
     emo_hidden: int = 512
     emo_layers: int = 6
     emo_heads: int = 8
+    # AAM-softmax (ArcFace-style additive angular margin) for the
+    # speaker objective: plain CE separates classes but leaves
+    # same-speaker cosines well below the reference's 0.7 verification
+    # threshold (/root/reference/speaker_embedding/ecapa_tdnn.py:212-225);
+    # the margin pulls intra-class cosine toward 1 so the threshold is
+    # meaningful.  SpeechBrain's pretrained ECAPA (which the reference
+    # loads) is trained the same way.
+    aam_margin: float = 0.2
+    aam_scale: float = 30.0
 
 
 class EncoderTrainState(flax.struct.PyTreeNode):
@@ -168,10 +177,16 @@ def make_encoder_train_step(
         mel = audio_to_mel(crops)
 
         def ecapa_loss(params):
-            _emb, logits = ecapa.apply(params, mel, train=True)
+            emb = ecapa.apply(params, mel, train=False)  # L2-normalised
+            # AAM-softmax over the classifier kernel's normalised columns
+            w = params["params"]["classifier"]["kernel"]  # [192, S]
+            w = w / jnp.linalg.norm(w, axis=0, keepdims=True).clip(1e-9)
+            cos = (emb @ w).astype(jnp.float32)  # [B, S] cosine logits
+            onehot = jax.nn.one_hot(spk_y, cos.shape[-1])
+            logits = cfg.aam_scale * (cos - cfg.aam_margin * onehot)
             loss = optax.softmax_cross_entropy_with_integer_labels(
                 logits, spk_y).mean()
-            acc = jnp.mean((jnp.argmax(logits, -1) == spk_y).astype(jnp.float32))
+            acc = jnp.mean((jnp.argmax(cos, -1) == spk_y).astype(jnp.float32))
             return loss, acc
 
         def emo_loss(params):
