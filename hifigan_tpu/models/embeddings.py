@@ -179,15 +179,32 @@ class Emotion2Vec(nn.Module):
     def __call__(self, mel: Array, train: bool = False, return_frames: bool = False):
         if mel.shape[1] == self.n_mels and mel.shape[-1] != self.n_mels:
             mel = jnp.transpose(mel, (0, 2, 1))
-        x = mel.astype(self.dtype)
+        # per-utterance input CMVN (parameter-free): without it the raw
+        # log-mel scale leaves the conv-stem output tiny relative to the
+        # position encodings, the transformer output collapses to a
+        # position-only function, and the mean-pooled embedding is
+        # input-independent (measured batch-std ≈ 9e-4 at init — the
+        # emotion head then fits class priors and never learns)
+        mf = mel.astype(jnp.float32)
+        mu = mf.mean(axis=(1, 2), keepdims=True)
+        sd = jnp.maximum(mf.std(axis=(1, 2), keepdims=True), 1e-5)
+        x = ((mf - mu) / sd).astype(self.dtype)
         # 3-layer conv feature extractor (reference :178-186)
         for i, ch in enumerate((256, 384, self.hidden_dim)):
             w = self.param(f"fe_{i}_kernel", nn.initializers.normal(0.02),
                            (3, x.shape[-1], ch), jnp.float32)
             b = self.param(f"fe_{i}_bias", nn.initializers.zeros, (ch,), jnp.float32)
             x = nn.gelu(conv_ops.conv1d(x, w.astype(self.dtype), b, padding=1))
+        # parameter-free feature norm so the content signal is not
+        # drowned by the positional encoding (the conv stem's init-scale
+        # output is ~10× smaller than the sinusoid table; position-
+        # dominant frames mean-pool to an input-independent embedding)
+        xf = x.astype(jnp.float32)
+        fmu = xf.mean(axis=-1, keepdims=True)
+        fsd = jnp.maximum(xf.std(axis=-1, keepdims=True), 1e-5)
+        x = ((xf - fmu) / fsd).astype(self.dtype)
         pos = sinusoidal_positions(self.max_len, self.hidden_dim)
-        x = x + jnp.asarray(pos[: x.shape[1]])[None].astype(self.dtype)
+        x = x + 0.3 * jnp.asarray(pos[: x.shape[1]])[None].astype(self.dtype)
         for i in range(self.num_layers):
             x = TransformerEncoderLayer(
                 self.num_heads, 4 * self.hidden_dim, dtype=self.dtype, name=f"layer_{i}"
