@@ -102,6 +102,13 @@ class SimultaneousTextDecoder(nn.Module):
         T = target_ids.shape[1]
         emb = nn.Embed(self.vocab_size, self.hidden_dim,
                        param_dtype=jnp.float32, name="token_embedding")(target_ids)
+        # sqrt(d) embedding scale (fairseq/transformer standard): the
+        # fan-in-initialised embedding is ~1/sqrt(d) std vs the ±1
+        # positional table — unscaled, token identity is drowned and the
+        # decoder cannot train (observed: CE pinned near ln-uniform)
+        import math as _math
+
+        emb = emb * _math.sqrt(self.hidden_dim)
         pos = sinusoidal_positions(self.max_len, self.hidden_dim)
         x = (emb + jnp.asarray(pos[:T])[None]).astype(self.dtype)
         self_mask = causal_mask(T)

@@ -159,7 +159,8 @@ def prefill(
     number of *valid* positions via :func:`with_index` (the buffer tail
     is padding)."""
     B, L = tokens.shape
-    emb = params["token_embedding"]["embedding"][tokens]
+    # sqrt(d) embedding scale — must mirror SimultaneousTextDecoder
+    emb = params["token_embedding"]["embedding"][tokens] * math.sqrt(spec.hidden_dim)
     pos = jnp.asarray(sinusoidal_positions(spec.max_len, spec.hidden_dim)[:L])
     x = (emb + pos[None]).astype(jnp.float32)
     causal = jnp.tril(jnp.ones((L, L), bool))[None, None]
@@ -200,7 +201,8 @@ def decode_step(
     learned HMT transition head)."""
     B = token.shape[0]
     idx = cache.index
-    emb = params["token_embedding"]["embedding"][token[:, None]]  # [B,1,D]
+    emb = (params["token_embedding"]["embedding"][token[:, None]]
+           * math.sqrt(spec.hidden_dim))  # [B,1,D]
     pos = jnp.asarray(sinusoidal_positions(spec.max_len, spec.hidden_dim))
     x = (emb + jax.lax.dynamic_slice_in_dim(pos, idx, 1, axis=0)[None]).astype(
         jnp.float32

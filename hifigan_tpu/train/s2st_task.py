@@ -330,7 +330,10 @@ def make_s2st_train_step(
                 / jnp.maximum(keep.sum(), 1.0))
             trans_acc = (((wl > 0) == (correct > 0.5)) * keep).sum() / \
                 jnp.maximum(keep.sum(), 1.0)
-            total = (l_src + l_tgt + l_dec + 0.5 * l_unit + 0.5 * l_unit_dec
+            # decoder-fed unit CTC down-weighted: it only converges once
+            # the decoder features stabilise, and at weight 0.5 its early
+            # plateau dominated the total gradient
+            total = (l_src + l_tgt + l_dec + 0.5 * l_unit + 0.2 * l_unit_dec
                      + 0.2 * l_trans)
             return total, {"src_ctc": l_src, "tgt_ctc": l_tgt,
                            "dec_ce": l_dec, "unit_ctc": l_unit,
