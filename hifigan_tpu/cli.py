@@ -629,22 +629,42 @@ def cmd_eval(args):
         emotion_embed_fn=jax.jit(lambda m: emo_model.apply(emo_params, m)),
         mel_fn=jax.jit(lambda w: audio_to_mel(w, cfg)),
     )
+    reference_texts = [None] * args.samples
     if args.dataset == "formant":
         # held-out clips (utterance ids disjoint from any training draw)
-        from hifigan_tpu.train.corpus import FormantSpeechCorpus
+        from hifigan_tpu.train.corpus import PHONES, FormantSpeechCorpus, plan_phone_ids
 
         corpus = FormantSpeechCorpus(n_speakers=8)
-        clips = [corpus.utterance(i % 8, 10_000 + i) for i in range(args.samples)]
+        clips, reference_texts = [], []
+        for i in range(args.samples):
+            wav, plan, _ar = corpus.utterance(i % 8, 10_000 + i,
+                                              return_plan=True)
+            clips.append(wav)
+            ids = plan_phone_ids(plan)
+            reference_texts.append(
+                " ".join(PHONES[p] for p in ids if p != 0))
+        # offline ASR-BLEU backend: the self-trained source-CTC ASR
+        if evaluator.transcribe_fn is None and os.path.isdir("runs/s2st"):
+            try:
+                from hifigan_tpu.eval.asr import CTCTranscriber
+
+                evaluator.transcribe_fn = CTCTranscriber("runs/s2st")
+                log.info("ASR-BLEU backend: self-trained CTC (step %d)",
+                         evaluator.transcribe_fn.step)
+            except Exception:
+                log.exception("CTC transcriber unavailable; ASR-BLEU "
+                              "will be SKIPPED")
     else:
         data = SyntheticSpeechDataset(
             segment_samples=args.segment_samples, size=args.samples)
         clips = [data[i] for i in range(args.samples)]
     samples = []
-    for clip in clips:
+    for clip, ref_text in zip(clips, reference_texts):
         seg = args.segment_samples
         audio = np.zeros(seg, np.float32)
         audio[: min(seg, len(clip))] = clip[:seg]
-        samples.append({"mel": audio_to_mel(jnp.asarray(audio[None]), cfg)})
+        samples.append({"mel": audio_to_mel(jnp.asarray(audio[None]), cfg),
+                        "reference_text": ref_text})
     results = evaluator.evaluate_batch(samples)
     extra = {
         "dataset": args.dataset,
