@@ -315,9 +315,13 @@ def cmd_train_encoders(args):
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     state, ecapa, emo, tx = create_encoder_state(
         jax.random.PRNGKey(args.seed), cfg, dtype=dtype)
+    # keep only shapes/labels in the factory; the audio bank itself is
+    # passed per call so it stays out of the compiled program body
+    # (remote-compile HTTP 413 — docs/ROUND_NOTES.md)
+    bank_dev = jax.device_put(jnp.asarray(bank_np))
     step_fn = make_encoder_train_step(
         ecapa, emo, cfg, tx,
-        jax.device_put(jnp.asarray(bank_np)), jnp.asarray(lens_np),
+        jnp.zeros((bank_np.shape[0], 0), jnp.float32), jnp.asarray(lens_np),
         jnp.asarray(spk_np), jnp.asarray(bin_np))
     spc = max(1, args.steps_per_call)
     fused = make_fused_encoder_step(step_fn, spc)
@@ -333,7 +337,7 @@ def cmd_train_encoders(args):
             base = jax.random.fold_in(jax.random.PRNGKey(args.seed + 1),
                                       steps_done)
             keys = jax.random.split(base, spc)
-            state, m = fused(state, keys if spc > 1 else keys[0])
+            state, m = fused(state, keys if spc > 1 else keys[0], bank_dev)
             steps_done += spc
             if steps_done % args.log_every < spc:
                 rec = {k: float(v) for k, v in m.items()}
@@ -341,9 +345,10 @@ def cmd_train_encoders(args):
                 mf.write(json.dumps(rec) + "\n")
                 mf.flush()
                 log.info("step %d: spk_loss=%.3f spk_acc=%.3f emo_loss=%.3f "
-                         "emo_acc=%.3f", steps_done, rec["speaker_loss"],
-                         rec["speaker_acc"], rec["emotion_loss"],
-                         rec["emotion_acc"])
+                         "emo_acc=%.3f near=%.3f", steps_done,
+                         rec["speaker_loss"], rec["speaker_acc"],
+                         rec["emotion_loss"], rec["emotion_acc"],
+                         rec["emotion_acc_near"])
             mgr.save(state)
     mgr.save(state, force=True)
     mgr.wait()
@@ -524,7 +529,9 @@ def cmd_train_s2st(args):
             base = jax.random.fold_in(jax.random.PRNGKey(args.seed + 3),
                                       steps_done)
             keys = jax.random.split(base, spc)
-            state, m = step_fn(state, keys if spc > 1 else keys[0])
+            # bank passed per call, not closed over: keeps the lowered
+            # HLO small enough for the relay's remote-compile limit
+            state, m = step_fn(state, keys if spc > 1 else keys[0], bank)
             steps_done += spc
             if steps_done % args.log_every < spc:
                 rec = {k: float(v) for k, v in m.items()}

@@ -153,16 +153,26 @@ def make_encoder_train_step(
     arousal_bins: Array,
 ) -> Callable[[EncoderTrainState, Array], Tuple[EncoderTrainState, dict]]:
     """One jitted step: sample crops on device, mel on device, CE losses
-    for both encoders, two optimizer updates."""
+    for both encoders, two optimizer updates.
+
+    The audio bank is threaded through the returned step as a *runtime
+    argument* (``step(state, key, bank=...)``, default: the bank given
+    here) rather than captured by the jit closure: closed-over device
+    arrays are embedded in the lowered HLO, and this rig's relay rejects
+    remote-compile bodies past a few hundred MB with HTTP 413
+    (docs/ROUND_NOTES.md round-3 additions) — a 1 024-utterance bank is
+    ~300 MB."""
     n = bank.shape[0]
     seg = cfg.segment_samples
+    default_bank = bank
+    del bank
 
     def audio_to_mel(audio):
         mel = log_mel_spectrogram(audio, cfg.mel)  # [B, frames, n_mels]
         frames = seg // cfg.mel.hop_length
         return jnp.transpose(mel[:, :frames, :], (0, 2, 1))
 
-    def sample(key):
+    def sample(key, bank):
         k_utt, k_off = jax.random.split(key)
         utt = jax.random.randint(k_utt, (cfg.batch_size,), 0, n)
         span = jnp.maximum(lengths[utt] - seg, 1)
@@ -172,8 +182,9 @@ def make_encoder_train_step(
         )(utt, off)
         return crops, speakers[utt], arousal_bins[utt]
 
-    def step(state: EncoderTrainState, key: Array):
-        crops, spk_y, emo_y = sample(key)
+    def step(state: EncoderTrainState, key: Array, bank: Array | None = None):
+        crops, spk_y, emo_y = sample(
+            key, default_bank if bank is None else bank)
         mel = audio_to_mel(crops)
 
         def ecapa_loss(params):
@@ -193,11 +204,15 @@ def make_encoder_train_step(
             _utt, logits = emo.apply(params, mel, train=True)
             loss = optax.softmax_cross_entropy_with_integer_labels(
                 logits, emo_y).mean()
-            acc = jnp.mean((jnp.argmax(logits, -1) == emo_y).astype(jnp.float32))
-            return loss, acc
+            pred = jnp.argmax(logits, -1)
+            acc = jnp.mean((pred == emo_y).astype(jnp.float32))
+            # adjacent-bin tolerance: the 8 bins quantise a continuum, so
+            # boundary-straddling crops make exact-bin accuracy a floor
+            near = jnp.mean((jnp.abs(pred - emo_y) <= 1).astype(jnp.float32))
+            return loss, (acc, near)
 
         (sl, sa), sg = jax.value_and_grad(ecapa_loss, has_aux=True)(state.ecapa_params)
-        (el, ea), eg = jax.value_and_grad(emo_loss, has_aux=True)(state.emo_params)
+        (el, (ea, en)), eg = jax.value_and_grad(emo_loss, has_aux=True)(state.emo_params)
         su, so = tx.update(sg, state.ecapa_opt, state.ecapa_params)
         eu, eo = tx.update(eg, state.emo_opt, state.emo_params)
         new_state = state.replace(
@@ -207,7 +222,8 @@ def make_encoder_train_step(
             ecapa_opt=so, emo_opt=eo,
         )
         metrics = {"speaker_loss": sl, "speaker_acc": sa,
-                   "emotion_loss": el, "emotion_acc": ea}
+                   "emotion_loss": el, "emotion_acc": ea,
+                   "emotion_acc_near": en}
         return new_state, metrics
 
     return step
@@ -216,12 +232,18 @@ def make_encoder_train_step(
 def make_fused_encoder_step(step_fn, multi_steps: int = 1):
     """Fuse ``multi_steps`` optimizer steps into one scanned device
     program (dispatch amortisation; same rationale as the GAN step's
-    scan fusion in :mod:`hifigan_tpu.train.train_step`)."""
+    scan fusion in :mod:`hifigan_tpu.train.train_step`).
+
+    The fused callable accepts an optional trailing ``bank`` argument
+    and threads it into every step — pass the device-resident bank here
+    so it stays a buffer parameter instead of an HLO constant (HTTP 413
+    remote-compile limit; see :func:`make_encoder_train_step`)."""
     if multi_steps <= 1:
         return jax.jit(step_fn, donate_argnums=(0,))
 
-    def multi(state, keys):
-        state, ms = jax.lax.scan(step_fn, state, keys, length=multi_steps)
+    def multi(state, keys, bank=None):
+        state, ms = jax.lax.scan(lambda s, k: step_fn(s, k, bank),
+                                 state, keys, length=multi_steps)
         return state, jax.tree_util.tree_map(jnp.mean, ms)
 
     return jax.jit(multi, donate_argnums=(0,))

@@ -258,12 +258,22 @@ def make_s2st_train_step(
     multi_steps: int = 1,
 ) -> Callable[[S2STTrainState, Array], Tuple[S2STTrainState, dict]]:
     """One jitted program: gather batch from HBM bank, fbank + CMVN,
-    forward, all four losses, optimizer update."""
-    N = bank["audio"].shape[0]
+    forward, all four losses, optimizer update.
+
+    The bank is threaded through the returned step as a runtime argument
+    (``step(state, key, bank=...)``; default: the dict given here).
+    Closed-over device arrays are baked into the lowered HLO and this
+    rig's relay rejects remote-compile bodies past a few hundred MB with
+    HTTP 413 (docs/ROUND_NOTES.md) — a 2 048-utterance bank is ~520 MB."""
+    N = bank["n_frames"].shape[0]
     B = task_cfg.batch_size
     T = task_cfg.n_frames
+    default_bank = bank
+    del bank
 
-    def step(state: S2STTrainState, key: Array):
+    def step(state: S2STTrainState, key: Array, bank: dict | None = None):
+        if bank is None:
+            bank = default_bank
         k_idx, k_pref, k_cut = jax.random.split(key, 3)
         idx = jax.random.randint(k_idx, (B,), 0, N)
         audio = bank["audio"][idx]
@@ -351,8 +361,9 @@ def make_s2st_train_step(
 
     if multi_steps > 1:
 
-        def multi(state, keys):
-            state, ms = jax.lax.scan(step, state, keys, length=multi_steps)
+        def multi(state, keys, bank=None):
+            state, ms = jax.lax.scan(lambda s, k: step(s, k, bank),
+                                     state, keys, length=multi_steps)
             return state, jax.tree_util.tree_map(jnp.mean, ms)
 
         return jax.jit(multi, donate_argnums=(0,))
