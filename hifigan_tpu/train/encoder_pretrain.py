@@ -101,6 +101,15 @@ class EncoderTrainConfig:
     # loads) is trained the same way.
     aam_margin: float = 0.2
     aam_scale: float = 30.0
+    # The Emotion2Vec branch is a 6-layer *post-norm* transformer: at
+    # the ECAPA branch's Adam lr of 1e-3 it never escapes the collapsed
+    # basin (measured: cannot even memorise 16 fixed random-label mels —
+    # loss pins at ~1.8; at 1e-4 the same probe memorises cleanly), so
+    # the 8-way arousal head sat at chance for 64k steps.  The emotion
+    # branch therefore gets its own schedule: linear warmup to a 10×
+    # lower peak.
+    emo_learning_rate: float = 1e-4
+    emo_warmup_steps: int = 500
 
 
 class EncoderTrainState(flax.struct.PyTreeNode):
@@ -120,12 +129,24 @@ def build_models(cfg: EncoderTrainConfig, dtype=jnp.float32):
     return ecapa, emo
 
 
+def emo_optimizer(cfg: EncoderTrainConfig) -> optax.GradientTransformation:
+    """Warmup-then-constant Adam for the post-norm Emotion2Vec branch
+    (see :class:`EncoderTrainConfig.emo_learning_rate`)."""
+    sched = optax.join_schedules(
+        [optax.linear_schedule(0.0, cfg.emo_learning_rate,
+                               cfg.emo_warmup_steps),
+         optax.constant_schedule(cfg.emo_learning_rate)],
+        [cfg.emo_warmup_steps])
+    return optax.adam(sched)
+
+
 def create_encoder_state(
     rng: jax.Array, cfg: EncoderTrainConfig, dtype=jnp.float32
 ) -> Tuple[EncoderTrainState, EcapaTdnn, Emotion2Vec, optax.GradientTransformation]:
     ecapa, emo = build_models(cfg, dtype)
     frames = cfg.segment_samples // cfg.mel.hop_length
     tx = optax.adam(cfg.learning_rate)
+    tx_emo = emo_optimizer(cfg)
     r1, r2 = jax.random.split(rng)
 
     @jax.jit
@@ -136,7 +157,7 @@ def create_encoder_state(
         return EncoderTrainState(
             step=jnp.zeros((), jnp.int32),
             ecapa_params=ep, emo_params=mp,
-            ecapa_opt=tx.init(ep), emo_opt=tx.init(mp),
+            ecapa_opt=tx.init(ep), emo_opt=tx_emo.init(mp),
         )
 
     return _init(r1, r2), ecapa, emo, tx
@@ -166,6 +187,7 @@ def make_encoder_train_step(
     seg = cfg.segment_samples
     default_bank = bank
     del bank
+    tx_emo = emo_optimizer(cfg)  # emotion branch: own (lower-lr) schedule
 
     def audio_to_mel(audio):
         mel = log_mel_spectrogram(audio, cfg.mel)  # [B, frames, n_mels]
@@ -214,7 +236,7 @@ def make_encoder_train_step(
         (sl, sa), sg = jax.value_and_grad(ecapa_loss, has_aux=True)(state.ecapa_params)
         (el, (ea, en)), eg = jax.value_and_grad(emo_loss, has_aux=True)(state.emo_params)
         su, so = tx.update(sg, state.ecapa_opt, state.ecapa_params)
-        eu, eo = tx.update(eg, state.emo_opt, state.emo_params)
+        eu, eo = tx_emo.update(eg, state.emo_opt, state.emo_params)
         new_state = state.replace(
             step=state.step + 1,
             ecapa_params=optax.apply_updates(state.ecapa_params, su),
