@@ -651,11 +651,17 @@ def cmd_eval(args):
             reference_texts.append(
                 " ".join(PHONES[p] for p in ids if p != 0))
         # offline ASR-BLEU backend: the self-trained source-CTC ASR
-        if evaluator.transcribe_fn is None and os.path.isdir("runs/s2st"):
+        asr_dir = getattr(args, "asr", None)
+        if asr_dir is None:
+            for cand in ("runs/s2st2", "runs/s2st"):
+                if os.path.isdir(cand):
+                    asr_dir = cand
+                    break
+        if evaluator.transcribe_fn is None and asr_dir and os.path.isdir(asr_dir):
             try:
                 from hifigan_tpu.eval.asr import CTCTranscriber
 
-                evaluator.transcribe_fn = CTCTranscriber("runs/s2st")
+                evaluator.transcribe_fn = CTCTranscriber(asr_dir)
                 log.info("ASR-BLEU backend: self-trained CTC (step %d)",
                          evaluator.transcribe_fn.step)
             except Exception:
@@ -1316,6 +1322,10 @@ def main(argv=None):
     e.add_argument("--segment_samples", type=int, default=8192)
     e.add_argument("--output", default=None)
     e.add_argument("--tiny", action="store_true")
+    e.add_argument("--asr", default=None,
+                   help="S2ST checkpoint dir whose source-CTC head backs "
+                        "offline ASR-BLEU (default: runs/s2st2 then "
+                        "runs/s2st)")
     e.add_argument("--encoders", default=None,
                    help="trained encoder checkpoint dir for SIM "
                         "(default: runs/encoders when present)")
