@@ -299,6 +299,8 @@ def cmd_train_encoders(args):
         segment_samples=args.segment_samples,
         batch_size=args.batch_size,
         learning_rate=args.lr,
+        aam_margin=args.aam_margin,
+        aam_scale=args.aam_scale,
     )
     if args.tiny:
         cfg = EncoderTrainConfig(
@@ -1245,6 +1247,10 @@ def main(argv=None):
     te.add_argument("--segment_samples", type=int, default=16384)
     te.add_argument("--batch_size", type=int, default=32)
     te.add_argument("--lr", type=float, default=1e-3)
+    te.add_argument("--aam_margin", type=float, default=0.2,
+                    help="AAM-softmax angular margin for the speaker "
+                         "objective (larger → tighter intra-class cosine)")
+    te.add_argument("--aam_scale", type=float, default=30.0)
     te.add_argument("--max_steps", type=int, default=4000)
     te.add_argument("--save_steps", type=int, default=1000)
     te.add_argument("--steps_per_call", type=int, default=1)
