@@ -620,10 +620,12 @@ def cmd_eval(args):
         )
 
         try:
-            etpl, _, _, _ = create_encoder_state(
+            etpl, spk_model, emo_model, _ = create_encoder_state(
                 jax.random.PRNGKey(0), EncoderTrainConfig())
             emgr = CheckpointManager(enc_dir)
             etpl = emgr.restore(etpl)
+            # judge models MUST be the pretraining-config builds (the
+            # judge Emotion2Vec is 3×256 — see EncoderTrainConfig)
             spk_params = strip_classifier(etpl.ecapa_params)
             emo_params = strip_classifier(etpl.emo_params)
             encoders_trained = True

@@ -89,9 +89,18 @@ class EncoderTrainConfig:
     learning_rate: float = 1e-3
     mel: MelConfig = MelConfig()
     ecapa_channels: int = 512
-    emo_hidden: int = 512
-    emo_layers: int = 6
-    emo_heads: int = 8
+    # The *judge* Emotion2Vec trains at 3 layers / 256 dim: at the
+    # reference's 6×512 (the :class:`Emotion2Vec` class default, kept
+    # for the vocoder-internal extractor) the post-norm stack cannot
+    # learn the arousal task at ANY probed lr (1e-3 and 1e-4 both pin
+    # at ln(8) — measured on the real corpus task; a 3×256 stack on the
+    # same data reaches >0.8 train accuracy in 300 steps).  The
+    # reference never trains its 6×512 Emotion2Vec either — it ships
+    # dummy/random embeddings when the pretrained backbone is absent
+    # (/root/reference/hifigan_modified/conditioned_hifigan.py:111-147).
+    emo_hidden: int = 256
+    emo_layers: int = 3
+    emo_heads: int = 4
     # AAM-softmax (ArcFace-style additive angular margin) for the
     # speaker objective: plain CE separates classes but leaves
     # same-speaker cosines well below the reference's 0.7 verification
@@ -282,7 +291,13 @@ def strip_classifier(params: Any) -> Any:
 def graft_into_extractor(gen_params: Any, ecapa_params: Any, emo_params: Any) -> Any:
     """Replace the vocoder facade's ``embedding_extractor`` subtrees
     (``ecapa`` / ``emotion2vec``) with trained encoder params.  Returns a
-    new gen_params tree (input untouched)."""
+    new gen_params tree (input untouched).
+
+    The encoder checkpoint's dims must match the facade's extractor
+    (``TrainConfig.emo_hidden``/``emo_layers``/…).  NB the *judge*
+    default (:class:`EncoderTrainConfig`) is now a 3×256 Emotion2Vec —
+    grafting a judge checkpoint into a facade built at the class-default
+    6×512 requires constructing the facade with matching dims."""
     import copy
 
     out = copy.deepcopy(jax.tree_util.tree_map(lambda x: x, gen_params))
