@@ -301,6 +301,7 @@ def cmd_train_encoders(args):
         learning_rate=args.lr,
         aam_margin=args.aam_margin,
         aam_scale=args.aam_scale,
+        spk_pair_weight=args.spk_pair_weight,
     )
     if args.tiny:
         cfg = EncoderTrainConfig(
@@ -346,9 +347,10 @@ def cmd_train_encoders(args):
                 rec.update(step=steps_done, wall_s=round(time.time() - t0, 1))
                 mf.write(json.dumps(rec) + "\n")
                 mf.flush()
-                log.info("step %d: spk_loss=%.3f spk_acc=%.3f emo_loss=%.3f "
-                         "emo_acc=%.3f near=%.3f", steps_done,
+                log.info("step %d: spk_loss=%.3f spk_acc=%.3f pair_cos=%.3f "
+                         "emo_loss=%.3f emo_acc=%.3f near=%.3f", steps_done,
                          rec["speaker_loss"], rec["speaker_acc"],
+                         rec["speaker_pair_cos"],
                          rec["emotion_loss"], rec["emotion_acc"],
                          rec["emotion_acc_near"])
             mgr.save(state)
@@ -1253,6 +1255,10 @@ def main(argv=None):
                     help="AAM-softmax angular margin for the speaker "
                          "objective (larger → tighter intra-class cosine)")
     te.add_argument("--aam_scale", type=float, default=30.0)
+    te.add_argument("--spk_pair_weight", type=float, default=0.0,
+                    help="same-speaker pairwise cosine pull weight "
+                         "(lifts intra-class cosine toward the 0.7 "
+                         "verification threshold)")
     te.add_argument("--max_steps", type=int, default=4000)
     te.add_argument("--save_steps", type=int, default=1000)
     te.add_argument("--steps_per_call", type=int, default=1)

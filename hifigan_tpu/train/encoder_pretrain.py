@@ -119,6 +119,14 @@ class EncoderTrainConfig:
     # lower peak.
     emo_learning_rate: float = 1e-4
     emo_warmup_steps: int = 500
+    # Same-speaker pairwise cosine pull: AAM alone separates classes
+    # (cross-speaker cosine ~0.005 at margin 0.4) but leaves intra-class
+    # cosine capped ~0.54 by content variance between clips — below the
+    # reference's absolute 0.7 verification threshold
+    # (/root/reference/speaker_embedding/ecapa_tdnn.py:212-225).  Each
+    # step also embeds a second, different utterance of the same speaker
+    # and pulls the pair's cosine toward 1.
+    spk_pair_weight: float = 0.0
 
 
 class EncoderTrainState(flax.struct.PyTreeNode):
@@ -203,20 +211,33 @@ def make_encoder_train_step(
         frames = seg // cfg.mel.hop_length
         return jnp.transpose(mel[:, :frames, :], (0, 2, 1))
 
-    def sample(key, bank):
-        k_utt, k_off = jax.random.split(key)
-        utt = jax.random.randint(k_utt, (cfg.batch_size,), 0, n)
+    def crop_at(bank, utt, key):
         span = jnp.maximum(lengths[utt] - seg, 1)
-        off = (jax.random.uniform(k_off, (cfg.batch_size,)) * span).astype(jnp.int32)
-        crops = jax.vmap(
+        off = (jax.random.uniform(key, (cfg.batch_size,)) * span).astype(jnp.int32)
+        return jax.vmap(
             lambda u, o: jax.lax.dynamic_slice(bank[u], (o,), (seg,))
         )(utt, off)
-        return crops, speakers[utt], arousal_bins[utt]
+
+    def sample(key, bank):
+        k_utt, k_off, k_p1, k_p2 = jax.random.split(key, 4)
+        utt = jax.random.randint(k_utt, (cfg.batch_size,), 0, n)
+        crops = crop_at(bank, utt, k_off)
+        pair = None
+        if cfg.spk_pair_weight > 0:
+            # a *different* utterance of the same speaker (bank layout is
+            # speaker-major — build_labelled_bank)
+            u_per = n // cfg.n_speakers
+            base = (utt // u_per) * u_per
+            shift = jax.random.randint(k_p1, (cfg.batch_size,), 1, u_per)
+            utt2 = base + (utt - base + shift) % u_per
+            pair = crop_at(bank, utt2, k_p2)
+        return crops, pair, speakers[utt], arousal_bins[utt]
 
     def step(state: EncoderTrainState, key: Array, bank: Array | None = None):
-        crops, spk_y, emo_y = sample(
+        crops, pair, spk_y, emo_y = sample(
             key, default_bank if bank is None else bank)
         mel = audio_to_mel(crops)
+        pair_mel = audio_to_mel(pair) if pair is not None else None
 
         def ecapa_loss(params):
             emb = ecapa.apply(params, mel, train=False)  # L2-normalised
@@ -229,7 +250,14 @@ def make_encoder_train_step(
             loss = optax.softmax_cross_entropy_with_integer_labels(
                 logits, spk_y).mean()
             acc = jnp.mean((jnp.argmax(cos, -1) == spk_y).astype(jnp.float32))
-            return loss, acc
+            pair_cos = jnp.zeros(())
+            if pair_mel is not None:
+                emb2 = ecapa.apply(params, pair_mel, train=False)
+                pair_cos = jnp.sum(
+                    emb.astype(jnp.float32) * emb2.astype(jnp.float32),
+                    axis=-1).mean()
+                loss = loss + cfg.spk_pair_weight * (1.0 - pair_cos)
+            return loss, (acc, pair_cos)
 
         def emo_loss(params):
             _utt, logits = emo.apply(params, mel, train=True)
@@ -242,7 +270,7 @@ def make_encoder_train_step(
             near = jnp.mean((jnp.abs(pred - emo_y) <= 1).astype(jnp.float32))
             return loss, (acc, near)
 
-        (sl, sa), sg = jax.value_and_grad(ecapa_loss, has_aux=True)(state.ecapa_params)
+        (sl, (sa, spc)), sg = jax.value_and_grad(ecapa_loss, has_aux=True)(state.ecapa_params)
         (el, (ea, en)), eg = jax.value_and_grad(emo_loss, has_aux=True)(state.emo_params)
         su, so = tx.update(sg, state.ecapa_opt, state.ecapa_params)
         eu, eo = tx_emo.update(eg, state.emo_opt, state.emo_params)
@@ -253,6 +281,7 @@ def make_encoder_train_step(
             ecapa_opt=so, emo_opt=eo,
         )
         metrics = {"speaker_loss": sl, "speaker_acc": sa,
+                   "speaker_pair_cos": spc,
                    "emotion_loss": el, "emotion_acc": ea,
                    "emotion_acc_near": en}
         return new_state, metrics
