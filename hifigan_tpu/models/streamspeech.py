@@ -41,6 +41,14 @@ from hifigan_tpu.ops import conv as conv_ops
 
 Array = jax.Array
 
+# Forward-semantics revision: bumped whenever a forward pass changes
+# numerics under an UNCHANGED parameter tree (round 3: Emotion2Vec input
+# CMVN / feature norm / 0.3× positional scale; decoder sqrt(d) embedding
+# scale).  Written into streamspeech_config.json at train time and
+# checked on restore, so a stale checkpoint fails loudly instead of
+# silently computing different outputs (ADVICE r3).
+FEATURE_REV = 2
+
 
 @dataclass(frozen=True)
 class StreamSpeechConfig:

@@ -144,7 +144,23 @@ class S2TTAgent(_AgentBase):
         self.hmt_state = None
         self.hmt_base: List[int] = []
 
-    def _advance_text_hmt(self, states: AgentStates, enc) -> tuple:
+    def _write_budget(self, n_tgt: int) -> int:
+        """Subword emission budget from target-CTC progress (reference
+        agent.py:495-509): total allowed subwords is
+        ``((tgt_ctc_len − k1) // stride_n) · stride_n`` (+1 in
+        whole-word mode, since the trailing partial word is trimmed);
+        what may be *written now* is that total minus what was already
+        committed.  This — not the gate alone — is what rate-limits
+        commitment: the decoder may never run ahead of the target-CTC
+        length estimate while the source is still open."""
+        total = ((n_tgt - self.gate.lagging_k1) // self.gate.stride_n
+                 ) * self.gate.stride_n
+        if self.whole_words:
+            total += 1
+        return total - len(self.committed_text_ids)
+
+    def _advance_text_hmt(self, states: AgentStates, enc,
+                          budget: Optional[int] = None) -> tuple:
         """HMT-simultaneous beam continuation (reference
         hmt_sim_sequence_generator.py capability): resumable across
         policy calls; beams inconsistent with already-emitted text are
@@ -172,6 +188,8 @@ class S2TTAgent(_AgentBase):
                 return [], True
         else:
             max_new = cfg.max_new_tokens
+            if budget is not None:
+                max_new = min(max_new, budget)
         st = self.inf.continue_text_hmt(
             enc["enc"], self.hmt_base,
             src_len=enc["valid_frames"],
@@ -185,6 +203,10 @@ class S2TTAgent(_AgentBase):
         if hit_eos:
             cont = cont[:-1]
         new_ids = cont[len(done_cont):]
+        if budget is not None and not states.source_finished:
+            # a resumed beam can hold a longer continuation than this
+            # call's budget — never commit past it
+            new_ids = new_ids[: max(0, budget)]
         if self.whole_words and not states.source_finished and new_ids:
             from hifigan_tpu.streaming.decode import trim_to_whole_words
 
@@ -195,14 +217,15 @@ class S2TTAgent(_AgentBase):
             self._debug("st", self.detokenize(new_ids))
         return new_ids, hit_eos
 
-    def _advance_text(self, states: AgentStates, enc) -> tuple:
+    def _advance_text(self, states: AgentStates, enc,
+                      budget: Optional[int] = None) -> tuple:
         """MT continuation shared by S2TT and S2ST: KV-cached greedy
         decode, EOS fast-drain when the source is finished (reference
         agent.py:519-533 — one policy call drains the rest), and
         whole-word (▁) truncation while the source is still open
         (reference agent.py:540-556).  Returns (new_ids, hit_eos)."""
         if self.decode == "hmt":
-            return self._advance_text_hmt(states, enc)
+            return self._advance_text_hmt(states, enc, budget=budget)
         cfg = self.inf.cfg
         if states.source_finished:
             # drain in ONE policy call: allow the whole remaining buffer
@@ -211,6 +234,8 @@ class S2TTAgent(_AgentBase):
                 return [], True
         else:
             max_new = cfg.max_new_tokens
+            if budget is not None:
+                max_new = min(max_new, budget)
         new_ids = self.inf.continue_text(
             enc["enc"], self.committed_text_ids,
             max_new_tokens=max_new, session=self.dec_session,
@@ -236,13 +261,20 @@ class S2TTAgent(_AgentBase):
         n_src, n_tgt = len(enc["src_tokens"]), len(enc["tgt_tokens"])
         if not self.gate.should_write(n_src, n_tgt, source_finished=states.source_finished):
             return ReadAction()
-        new_ids, hit_eos = self._advance_text(states, enc)
+        budget = None
+        if not states.source_finished:
+            budget = self._write_budget(n_tgt)
+            if budget < 1:
+                return ReadAction()
+        # record CTC progress once the gate has fired (reference
+        # agent.py:489-494 updates the prefix lengths before decoding)
+        self.gate.committed(n_src, n_tgt)
+        new_ids, hit_eos = self._advance_text(states, enc, budget=budget)
         if not new_ids:
             if states.source_finished:
                 self.finished = True
                 return WriteAction(TextSegment("", finished=True), finished=True)
             return ReadAction()
-        self.gate.committed(n_src, n_tgt)
         done = states.source_finished and hit_eos
         self.finished = done
         return WriteAction(
@@ -275,8 +307,14 @@ class S2STAgent(S2TTAgent):
         n_src, n_tgt = len(enc["src_tokens"]), len(enc["tgt_tokens"])
         if not self.gate.should_write(n_src, n_tgt, source_finished=states.source_finished):
             return ReadAction()
+        budget = None
+        if not states.source_finished:
+            budget = self._write_budget(n_tgt)
+            if budget < 1:
+                return ReadAction()
+        self.gate.committed(n_src, n_tgt)
         # MT text first (reference ordering, agent.py:519-642); units follow
-        self._advance_text(states, enc)
+        self._advance_text(states, enc, budget=budget)
         if self.units_from == "decoder":
             new_units, _total = self.inf.units_from_text(
                 enc["enc"], self.committed_text_ids, len(self.emitted_units)
@@ -294,7 +332,6 @@ class S2STAgent(S2TTAgent):
             return ReadAction()
         self.emitted_units.extend(new_units)
         self._debug("unit", " ".join(map(str, new_units)))
-        self.gate.committed(n_src, n_tgt)
         tail = self.inf.synthesize_tail(self.emitted_units, len(new_units))
         done = bool(states.source_finished)
         self.finished = done

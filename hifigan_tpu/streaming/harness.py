@@ -82,19 +82,49 @@ class SessionResult:
         chunks = [s.samples for s in self.outputs if isinstance(s, SpeechSegment)]
         return np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
 
+    def _token_delays(self) -> List[float]:
+        """Per-target-token source delays d_i (seconds of source consumed
+        when token i was committed).  A write of k tokens at source time
+        t contributes k delays of t.  Text sessions count whitespace
+        tokens; speech sessions count 20 ms output units (the reference's
+        emission granularity, agent.py:750)."""
+        text_mode = any(
+            isinstance(s, TextSegment) and s.content.strip() for s in self.outputs
+        )
+        delays: List[float] = []
+        for seg, t in zip(self.outputs, self.emission_source_seconds):
+            if text_mode:
+                if isinstance(seg, TextSegment):
+                    delays.extend([t] * len(seg.content.split()))
+            elif isinstance(seg, SpeechSegment) and len(seg.samples):
+                k = max(1, int(round(len(seg.samples) / seg.sample_rate / 0.02)))
+                delays.extend([t] * k)
+        return delays
+
     @property
     def average_lagging_ms(self) -> float:
-        """AL proxy: mean source-time already consumed at each emission
-        (SimulEval's AL uses ideal timestamps; here emissions at source
-        time t lag an oracle that emits uniformly — reference AL window
-        semantics in configs/eval_config.yaml metrics.lagging)."""
-        if not self.emission_source_seconds:
+        """Average Lagging (Ma et al., 2019 — SimulEval's scorer, the
+        reference's AL metric: configs/eval_config.yaml metrics.lagging):
+
+            AL = (1/τ) · Σ_{i=1..τ} (d_i − (i−1)/γ),   γ = |Y| / |X|
+
+        where d_i is the source time consumed at the commitment of
+        target token i, |X| the source duration, |Y| the target length,
+        and τ the first token committed after the full source was read.
+        Unclamped per-term — an over-aggressive policy that commits
+        everything up front shows a small (possibly negative) AL, it is
+        not hidden by a max(0, ·)."""
+        delays = self._token_delays()
+        if not delays:
             return 0.0
-        n = len(self.emission_source_seconds)
-        ideal = [self.source_seconds * (i + 1) / n for i in range(n)]
-        return 1000.0 * float(
-            np.mean([max(0.0, e - i) for e, i in zip(self.emission_source_seconds, ideal)])
-        )
+        x = self.source_seconds
+        y = len(delays)
+        if x <= 0:
+            return 0.0
+        gamma = y / x
+        tau = next((i + 1 for i, d in enumerate(delays) if d >= x), y)
+        al = sum(delays[i] - i / gamma for i in range(tau)) / tau
+        return 1000.0 * float(al)
 
 
 def run_streaming_session(

@@ -63,6 +63,19 @@ CONTENT_KEY_BASE = 50_000_000
 REF_KEY_BASE = 60_000_000
 
 
+def _corpus_rev() -> int:
+    """A stable fingerprint of the corpus renderer: hash of the corpus
+    module source.  Any change to the renderer invalidates cached
+    banks."""
+    import hashlib
+    import inspect
+
+    from hifigan_tpu.train import corpus as _corpus_mod
+
+    src = inspect.getsource(_corpus_mod).encode()
+    return int.from_bytes(hashlib.sha256(src).digest()[:6], "big")
+
+
 def build_cloning_banks(
     *,
     n_speakers: int = 32,
@@ -75,11 +88,18 @@ def build_cloning_banks(
     (identical across speakers by construction).  ``ref_bank[s, c]`` is
     an *other-content* clip of speaker ``s`` rendered at content ``c``'s
     arousal, so the emotion embedding matches the target."""
+    # cache key: corpus rev + key bases + grid, so a stale cache from a
+    # different corpus version or content-key base cannot silently train
+    # on wrong pairs (ADVICE r3)
+    cache_key = np.array([_corpus_rev(), CONTENT_KEY_BASE, REF_KEY_BASE,
+                          n_speakers, n_contents, pad_to_multiple],
+                         np.int64)
     if cache_path and os.path.exists(cache_path):
         z = np.load(cache_path)
-        if (z["content_bank"].shape[0] == n_speakers
-                and z["content_bank"].shape[1] == n_contents):
+        if "cache_key" in z and np.array_equal(z["cache_key"], cache_key):
             return z["content_bank"], z["ref_bank"], z["lengths"]
+        log.warning("cloning bank cache %s is stale (key mismatch) — "
+                    "re-rendering", cache_path)
     corpus = FormantSpeechCorpus(n_speakers=n_speakers)
     contents = [CONTENT_KEY_BASE + j for j in range(n_contents)]
     utts: list[list[np.ndarray]] = []
@@ -110,7 +130,7 @@ def build_cloning_banks(
     if cache_path:
         os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
         np.savez(cache_path, content_bank=content_bank, ref_bank=ref_bank,
-                 lengths=lengths)
+                 lengths=lengths, cache_key=cache_key)
     return content_bank, ref_bank, lengths
 
 
@@ -161,6 +181,8 @@ def make_cloning_train_step(
     *,
     deep_feature_matching: bool = True,
     multi_steps: int = 1,
+    identity_fn: Optional[Callable[[Array], Array]] = None,
+    identity_weight: float = 0.0,
 ) -> Callable[..., Tuple[GanTrainState, dict]]:
     """The jitted cloning GAN step.  Same loss family as the
     copy-synthesis step (:mod:`hifigan_tpu.train.train_step` — LSGAN /
@@ -228,6 +250,22 @@ def make_cloning_train_step(
                 stft_loss = multi_resolution_stft_loss(fake_g, real)
                 total = total + w.multi_res_stft * stft_loss
                 aux["stft_loss"] = stft_loss
+            if identity_fn is not None and identity_weight > 0:
+                # identity (speaker-similarity) term: cosine of a FROZEN
+                # trained judge encoder's embeddings between the clone
+                # and the target speaker's own rendition — pushes output
+                # cosine past the reference's 0.7 verification bar
+                # (/root/reference/speaker_embedding/ecapa_tdnn.py:212-225)
+                # that reconstruction losses alone leave at ~0.63
+                e_fake = identity_fn(gen_mel)
+                e_tgt = jax.lax.stop_gradient(identity_fn(target_mel))
+                cos = (e_fake * e_tgt).sum(-1) / jnp.maximum(
+                    jnp.linalg.norm(e_fake, axis=-1)
+                    * jnp.linalg.norm(e_tgt, axis=-1), 1e-8)
+                id_loss = (1.0 - cos).mean()
+                total = total + identity_weight * id_loss
+                aux["identity_loss"] = id_loss
+                aux["identity_cos"] = cos.mean()
             return total, aux
 
         (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(

@@ -116,6 +116,11 @@ class S2STTaskConfig:
     learning_rate: float = 3e-4
     warmup_steps: int = 500
     prefix_mask_prob: float = 0.5
+    # lower bound of the sampled source-prefix fraction on masked rows —
+    # short prefixes are where the decoder is genuinely uncertain, which
+    # both hardens streaming decode and gives the transition head
+    # non-constant labels
+    prefix_min_frac: float = 0.25
     # fbank (streaming parity: 25 ms window / 10 ms shift)
     sample_rate: int = 16_000
     hop: int = 160
@@ -289,7 +294,9 @@ def make_s2st_train_step(
         # restrict decoder cross-attention to a random source prefix
         use_prefix = jax.random.bernoulli(
             k_pref, task_cfg.prefix_mask_prob, (B,))
-        frac = jax.random.uniform(k_cut, (B,), minval=0.25, maxval=1.0)
+        frac = jax.random.uniform(k_cut, (B,),
+                                  minval=task_cfg.prefix_min_frac,
+                                  maxval=1.0)
         cutoff = jnp.where(use_prefix,
                            jnp.maximum((frac * nf).astype(jnp.int32), 1),
                            T)
@@ -332,14 +339,32 @@ def make_s2st_train_step(
             # learned READ/WRITE transition head (reference HMT
             # transition model, hmt_sim_sequence_generator.py:449-470):
             # self-supervised label — is the decoder already right under
-            # this read prefix?  BCE over valid positions.
+            # this read prefix?  Under teacher forcing the label is ~98%
+            # positive, so a plain BCE collapses to "always WRITE"
+            # (round-3 degenerate head: transition_acc ≡ dec_acc).  Two
+            # counter-measures: (a) the label is only scored on
+            # prefix-masked rows, where the decoder is genuinely wrong
+            # sometimes; (b) the BCE is class-balanced — positives and
+            # negatives each carry half the total weight — so the prior
+            # cannot be the minimiser.
             correct = (jnp.argmax(logp, -1) == dec_out).astype(jnp.float32)
+            correct = jax.lax.stop_gradient(correct)
             wl = out["write_logits"]
-            l_trans = ((optax.sigmoid_binary_cross_entropy(
-                wl, jax.lax.stop_gradient(correct)) * keep).sum()
-                / jnp.maximum(keep.sum(), 1.0))
-            trans_acc = (((wl > 0) == (correct > 0.5)) * keep).sum() / \
-                jnp.maximum(keep.sum(), 1.0)
+            tkeep = keep * use_prefix[:, None].astype(jnp.float32)
+            pos = (correct * tkeep).sum()
+            neg = ((1.0 - correct) * tkeep).sum()
+            w = jnp.where(correct > 0.5,
+                          0.5 / jnp.maximum(pos, 1.0),
+                          0.5 / jnp.maximum(neg, 1.0)) * tkeep
+            l_trans = (optax.sigmoid_binary_cross_entropy(wl, correct)
+                       * w).sum()
+            pred_w = (wl > 0).astype(jnp.float32)
+            tpr = (pred_w * correct * tkeep).sum() / jnp.maximum(pos, 1.0)
+            tnr = ((1.0 - pred_w) * (1.0 - correct) * tkeep).sum() / \
+                jnp.maximum(neg, 1.0)
+            # balanced accuracy: 0.5 for any constant head, regardless
+            # of the label prior — degeneracy is visible, not hidden
+            trans_acc = 0.5 * (tpr + tnr)
             # decoder-fed unit CTC down-weighted: it only converges once
             # the decoder features stabilise, and at weight 0.5 its early
             # plateau dominated the total gradient

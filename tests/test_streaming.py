@@ -302,8 +302,8 @@ def test_s2tt_agent_hmt_mode(tiny_inference, rng):
     committed_snapshots = []
     orig = agent._advance_text_hmt
 
-    def spy(states, enc):
-        out = orig(states, enc)
+    def spy(states, enc, budget=None):
+        out = orig(states, enc, budget=budget)
         committed_snapshots.append(list(agent.committed_text_ids))
         return out
 
@@ -337,3 +337,88 @@ def test_agent_debug_streams(tiny_inference, rng, tmp_path):
             open(tmp_path / "unit.txt").read().split()
         )
         assert units == " ".join(map(str, agent.emitted_units))
+
+
+def test_write_budget_arithmetic(tiny_inference):
+    """Budget = ((tgt_ctc_len − k1) // stride_n) · stride_n − committed
+    (+1 whole-word) — the reference's rate-limit arithmetic
+    (speech_to_speech.streamspeech.agent.py:495-509)."""
+    from hifigan_tpu.streaming.agents import S2TTAgent
+
+    agent = S2TTAgent(tiny_inference, stride_n=2)
+    agent.committed_text_ids = [5, 6, 7]
+    assert agent._write_budget(9) == 8 - 3  # (9//2)*2 − 3
+    assert agent._write_budget(3) == 2 - 3  # negative: nothing allowed
+    agent.whole_words = True
+    assert agent._write_budget(9) == 9 - 3
+
+    agent2 = S2TTAgent(tiny_inference, stride_n=1)
+    agent2.gate.lagging_k1 = 2
+    agent2.committed_text_ids = []
+    assert agent2._write_budget(5) == 3
+
+
+def test_budget_caps_every_streaming_write(tiny_inference, rng):
+    """While the source is open, no single write may commit more tokens
+    than the target-CTC budget — the round-3 premature-commitment
+    pathology (everything emitted after the first 320 ms segment)."""
+    from hifigan_tpu.streaming.agents import S2TTAgent
+
+    agent = S2TTAgent(tiny_inference, stride_n=1)
+    orig = agent._advance_text
+    seen = []
+
+    def spy(states, enc, budget=None):
+        new_ids, hit_eos = orig(states, enc, budget=budget)
+        seen.append((budget, len(new_ids), states.source_finished))
+        return new_ids, hit_eos
+
+    agent._advance_text = spy
+    audio = (rng.standard_normal(32000) * 0.1).astype(np.float32)
+    run_streaming_session(agent, audio, segment_size_ms=320)
+    streaming_calls = [(b, n) for b, n, fin in seen if not fin]
+    for budget, n_new in streaming_calls:
+        assert budget is not None and budget >= 1
+        assert n_new <= budget
+
+
+def test_average_lagging_hand_computed():
+    """AL against a hand-worked example (Ma et al., 2019 formula)."""
+    from hifigan_tpu.streaming.harness import SessionResult, TextSegment
+
+    # source 2.0 s; four tokens committed at d = [0.5, 0.5, 1.5, 2.0]
+    res = SessionResult(
+        outputs=[TextSegment("a b"), TextSegment("c"), TextSegment("d")],
+        emission_source_seconds=[0.5, 1.5, 2.0],
+        source_seconds=2.0,
+    )
+    # gamma = 4/2 = 2; ideal = [0, .5, 1, 1.5]; tau = 4 (d_4 = 2.0 = |X|)
+    # AL = mean(0.5−0, 0.5−0.5, 1.5−1.0, 2.0−1.5) = mean(.5, 0, .5, .5)
+    assert res.average_lagging_ms == pytest.approx(375.0)
+
+
+def test_average_lagging_tau_cutoff():
+    """Tokens after the first post-EOS commitment don't count (τ)."""
+    from hifigan_tpu.streaming.harness import SessionResult, TextSegment
+
+    res = SessionResult(
+        outputs=[TextSegment("a"), TextSegment("b c d")],
+        emission_source_seconds=[1.0, 1.0],
+        source_seconds=1.0,
+    )
+    # gamma = 4; tau = 1 (first token already at d = |X|): AL = 1.0 s
+    assert res.average_lagging_ms == pytest.approx(1000.0)
+
+
+def test_average_lagging_aggressive_policy_not_clamped():
+    """An over-aggressive policy (everything committed after 0.32 s of a
+    2 s source) must show a small/negative AL — not be hidden at 0."""
+    from hifigan_tpu.streaming.harness import SessionResult, TextSegment
+
+    res = SessionResult(
+        outputs=[TextSegment("a b c d e f g h")],
+        emission_source_seconds=[0.32],
+        source_seconds=2.0,
+    )
+    # gamma = 4; ideal grows to 1.75 while every d_i = 0.32
+    assert res.average_lagging_ms < 0.0
