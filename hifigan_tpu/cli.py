@@ -1082,9 +1082,13 @@ def cmd_eval_s2st(args):
         samples.append((wav, ref_ids))
 
     policies = {
+        # latency anchor: the whole source in one segment = offline greedy
+        "offline_greedy": (S2TTAgent, {"stride_n": 1}),
         "stride1_greedy": (S2TTAgent, {"stride_n": 1}),
         "stride2_greedy": (S2TTAgent, {"stride_n": 2}),
+        "stride4_greedy": (S2TTAgent, {"stride_n": 4}),
         "waitk3": (WaitkS2TTAgent, {"k1": 3}),
+        "waitk7": (WaitkS2TTAgent, {"k1": 7}),
         "hmt_confidence": (S2TTAgent, {"decode": "hmt",
                                        "hmt_transition": "confidence"}),
         "hmt_learned": (S2TTAgent, {"decode": "hmt",
@@ -1095,10 +1099,12 @@ def cmd_eval_s2st(args):
     asr = None
     for name, (cls, kw) in policies.items():
         f1s, als = [], []
+        seg_ms = (1_000_000 if name == "offline_greedy"
+                  else args.segment_size)
         for wav, ref_ids in samples:
             agent = cls(inf, detokenize=detok, **kw)
             res = run_streaming_session(agent, wav, sample_rate=16_000,
-                                        segment_size_ms=args.segment_size)
+                                        segment_size_ms=seg_ms)
             hyp = list(getattr(agent, "committed_text_ids", []))
             f1s.append(token_f1(hyp, ref_ids))
             als.append(res.average_lagging_ms)
@@ -1129,7 +1135,10 @@ def cmd_eval_s2st(args):
             log.exception("CTC transcriber unavailable")
         if asr is not None:
             hyps, refs, als = [], [], []
-            for wav, ref_ids in samples:
+            wav_dir = getattr(args, "save_wavs", None)
+            if wav_dir:
+                os.makedirs(wav_dir, exist_ok=True)
+            for si, (wav, ref_ids) in enumerate(samples):
                 agent = S2STAgent(inf, detokenize=detok)
                 res = run_streaming_session(agent, wav, sample_rate=16_000,
                                             segment_size_ms=args.segment_size)
@@ -1137,6 +1146,20 @@ def cmd_eval_s2st(args):
                 hyps.append(asr(out) if len(out) else "")
                 refs.append(detok(list(ref_ids)))
                 als.append(res.average_lagging_ms)
+                if wav_dir and si < 8:
+                    # listening artifacts: (source, simultaneous output)
+                    import wave as wave_mod
+
+                    for tag, audio in (("src", wav), ("out", out)):
+                        pcm = np.clip(np.asarray(audio) * 32767.0,
+                                      -32768, 32767).astype("<i2")
+                        with wave_mod.open(os.path.join(
+                                wav_dir, f"s2st_{si:02d}_{tag}.wav"),
+                                "wb") as wf:
+                            wf.setnchannels(1)
+                            wf.setsampwidth(2)
+                            wf.setframerate(16_000)
+                            wf.writeframes(pcm.tobytes())
             report["s2st_asr_bleu"] = {
                 "bleu": round(corpus_bleu(hyps, refs), 2),
                 "average_lagging_ms": round(float(np.mean(als)), 1),
@@ -1540,6 +1563,9 @@ def main(argv=None):
                          "system under test — flagged in the report)")
     es.add_argument("--samples", type=int, default=8)
     es.add_argument("--segment_size", type=int, default=320)
+    es.add_argument("--save_wavs", default=None,
+                    help="write (source, simultaneous-output) WAV pairs "
+                         "for the first 8 samples here")
     es.add_argument("--output", default=None)
     es.set_defaults(fn=cmd_eval_s2st)
 
