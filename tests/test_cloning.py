@@ -141,6 +141,57 @@ def test_cloning_train_step_updates_and_identity_pairs():
         assert np.isfinite(float(v)), k
 
 
+def test_cloning_identity_loss_metrics_and_gradient():
+    """Identity loss: a frozen judge embedder adds identity_loss/
+    identity_cos metrics and contributes gradient (params differ from a
+    no-identity step on the same key)."""
+    from hifigan_tpu.models.embeddings import EcapaTdnn
+    from hifigan_tpu.models.generator import GeneratorConfig
+    from hifigan_tpu.ops.stft import MelConfig
+    from hifigan_tpu.train import TrainConfig, create_train_state
+    from hifigan_tpu.train.cloning import (
+        build_cloning_banks,
+        make_cloning_train_step,
+        make_pair_sampler,
+    )
+
+    cfg = TrainConfig(
+        generator=GeneratorConfig(
+            input_channels=16, hidden_channels=32, upsample_factors=(4, 2),
+            resblock_kernel_sizes=(3,), resblock_dilations=((1, 3),),
+            lora_rank=4),
+        mel=MelConfig(n_fft=32, hop_length=8, win_length=32, n_mels=16),
+        warmup_steps=0, decay_steps=100,
+        ecapa_channels=32, emo_hidden=32, emo_layers=1, emo_heads=4,
+    )
+    seg = 256
+    content, ref, lengths = build_cloning_banks(n_speakers=2, n_contents=2)
+    sampler = make_pair_sampler(jnp.asarray(lengths), seg, seg, batch_size=2)
+    judge = EcapaTdnn(n_mels=16, channels=32)
+    jp = judge.init(jax.random.PRNGKey(9), jnp.zeros((1, 16, 32)))
+
+    def run(identity_weight):
+        state, vocoder, discs = create_train_state(
+            jax.random.PRNGKey(0), cfg,
+            mel_frames=seg // cfg.mel.hop_length, batch_size=2)
+        step = make_cloning_train_step(
+            vocoder, discs, cfg, sampler,
+            identity_fn=(lambda mel: judge.apply(jp, mel)),
+            identity_weight=identity_weight)
+        state, m = step(state, jax.random.PRNGKey(3),
+                        jnp.asarray(content), jnp.asarray(ref))
+        return np.asarray(
+            jax.tree_util.tree_leaves(state.gen_params)[0]).copy(), m
+
+    p_with, m = run(8.0)
+    assert "identity_loss" in m and "identity_cos" in m
+    assert np.isfinite(float(m["identity_loss"]))
+    assert -1.0 <= float(m["identity_cos"]) <= 1.0
+    p_without, m0 = run(0.0)
+    assert "identity_loss" not in m0
+    assert not np.allclose(p_with, p_without)
+
+
 def test_graft_into_extractor_swaps_subtrees():
     from hifigan_tpu.train.encoder_pretrain import (
         build_labelled_bank,  # noqa: F401 (import check)
