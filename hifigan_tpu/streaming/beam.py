@@ -307,6 +307,15 @@ def hmt_beam_search(
         )
     state.need_read = False
     prefilled = False
+    if source_finished:
+        # drain semantics: the WHOLE source is in hand, so reading it is
+        # free (the reference drain decodes with full context).  Without
+        # this, beams whose gate defers writes must climb to src_len at
+        # ≤ (cands_per_token−1)·read_stride reads per iteration and
+        # starve the write budget entirely (observed: a functional
+        # learned gate produced near-empty drains, F1 ≈ 0.11).
+        for b in state.beams + state.finished:
+            b.num_read = max(b.num_read, src_len)
 
     for _ in range(max_new_tokens):
         live = [b for b in state.beams if not b.finished]
@@ -334,7 +343,10 @@ def hmt_beam_search(
             for bi, b in enumerate(live):
                 seq = (seed + b.tokens)[:max_len]
                 for k in range(cands_per_token):
-                    r = min(src_len, b.num_read + k * read_stride)
+                    # incremental HMT rungs, plus a final jump-to-now
+                    # rung: source already received is free context
+                    r = (src_len if k == cands_per_token - 1
+                         else min(src_len, b.num_read + k * read_stride))
                     row = bi * cands_per_token + k
                     last_toks[row] = seq[-1]
                     parents[row] = b.row
@@ -347,7 +359,8 @@ def hmt_beam_search(
             for bi, b in enumerate(live):
                 seq = (seed + b.tokens)[:max_len]
                 for k in range(cands_per_token):
-                    r = min(src_len, b.num_read + k * read_stride)
+                    r = (src_len if k == cands_per_token - 1
+                         else min(src_len, b.num_read + k * read_stride))
                     row = bi * cands_per_token + k
                     rows_tokens[row, : len(seq)] = seq
                     rows_read[row] = max(1, r)
