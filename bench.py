@@ -209,7 +209,37 @@ def _previous_bench() -> dict | None:
     return None
 
 
+def _require_backend(timeout_s: float = 600.0):
+    """Initialise the accelerator backend with a hard timeout.  The TPU
+    relay on this rig can wedge for hours (docs/ROUND_NOTES.md); a bench
+    that blocks forever in backend init is worse than one that reports
+    the outage as a structured failure."""
+    import threading
+
+    result = {}
+
+    def _init():
+        try:
+            result["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001
+            result["error"] = repr(e)
+
+    t = threading.Thread(target=_init, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" in result:
+        return result["devices"]
+    err = result.get("error", f"backend init exceeded {timeout_s:.0f}s")
+    print(json.dumps({
+        "metric": "audio_sec_per_sec_per_chip_22k05_flagship_inference",
+        "value": None, "unit": "x_realtime", "vs_baseline": None,
+        "error": f"TPU backend unavailable: {err}",
+    }))
+    sys.exit(3)
+
+
 def main():
+    _require_backend()
     results = {}
     flagship = bench_flagship()
     results["flagship_odconv_grc_film"] = flagship
