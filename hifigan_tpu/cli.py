@@ -1094,6 +1094,14 @@ def cmd_eval_s2st(args):
         "hmt_learned": (S2TTAgent, {"decode": "hmt",
                                     "hmt_transition": "learned"}),
     }
+    wanted = getattr(args, "policies", "all")
+    if wanted and wanted != "all":
+        keep = {p.strip() for p in wanted.split(",") if p.strip()}
+        unknown = keep - set(policies) - {"none"}
+        if unknown:
+            raise SystemExit(f"unknown policies {sorted(unknown)}; "
+                             f"choose from {sorted(policies)}")
+        policies = {k: v for k, v in policies.items() if k in keep}
     report = {"checkpoint_dir": args.checkpoint_dir,
               "restored_step": int(state.step), "policies": {}}
     asr = None
@@ -1356,6 +1364,11 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s %(levelname)s %(message)s")
     p = argparse.ArgumentParser(prog="hifigan_tpu")
+    p.add_argument("--cpu", action="store_true",
+                   help="run on the CPU backend (the rig's sitecustomize "
+                        "pins JAX_PLATFORMS=axon, so env overrides don't "
+                        "work — this forces it through jax.config; use it "
+                        "for evals while the one TPU chip is training)")
     sub = p.add_subparsers(dest="command", required=True)
 
     t = sub.add_parser("train", help="GAN-train the vocoder")
@@ -1562,6 +1575,10 @@ def main(argv=None):
                          "ASR-BLEU (default: runs/asr_judge, else the "
                          "system under test — flagged in the report)")
     es.add_argument("--samples", type=int, default=8)
+    es.add_argument("--policies", default="all",
+                    help="comma-separated subset of the text-policy grid "
+                         "to run ('none' skips it — e.g. to refresh only "
+                         "the end-to-end speech ASR-BLEU)")
     es.add_argument("--segment_size", type=int, default=320)
     es.add_argument("--save_wavs", default=None,
                     help="write (source, simultaneous-output) WAV pairs "
@@ -1600,6 +1617,10 @@ def main(argv=None):
     i.set_defaults(fn=cmd_info)
 
     args = p.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     args.fn(args)
 
 
