@@ -234,6 +234,9 @@ def cmd_train(args):
         yield from loader.epoch(epoch, chunk)
 
     pending = []
+    from hifigan_tpu.utils.tb import prune_metrics
+
+    prune_metrics(metrics_path, steps_done)
     with open(metrics_path, "a") as mf:
         for epoch in epoch_iter:
             for chunk in range(args.num_chunks):
@@ -373,6 +376,9 @@ def cmd_train_encoders(args):
     metrics_path = os.path.join(args.checkpoint_dir, "metrics.jsonl")
     steps_done = int(state.step)
     t0 = time.time()
+    from hifigan_tpu.utils.tb import prune_metrics
+
+    prune_metrics(metrics_path, steps_done)
     with open(metrics_path, "a") as mf:
         while steps_done < args.max_steps:
             base = jax.random.fold_in(jax.random.PRNGKey(args.seed + 1),
@@ -548,6 +554,9 @@ def cmd_train_clone(args):
     os.makedirs(args.checkpoint_dir, exist_ok=True)
     steps_done = int(state.step)
     t0 = time.time()
+    from hifigan_tpu.utils.tb import prune_metrics
+
+    prune_metrics(metrics_path, steps_done)
     with open(metrics_path, "a") as mf:
         while steps_done < args.max_steps:
             base = jax.random.fold_in(jax.random.PRNGKey(args.seed + 2),
@@ -629,6 +638,9 @@ def cmd_train_s2st(args):
     metrics_path = os.path.join(args.checkpoint_dir, "metrics.jsonl")
     steps_done = int(state.step)
     t0 = time.time()
+    from hifigan_tpu.utils.tb import prune_metrics
+
+    prune_metrics(metrics_path, steps_done)
     with open(metrics_path, "a") as mf:
         while steps_done < args.max_steps:
             base = jax.random.fold_in(jax.random.PRNGKey(args.seed + 3),
@@ -912,6 +924,9 @@ def cmd_train_unit_vocoder(args):
     metrics_path = os.path.join(args.checkpoint_dir, "metrics.jsonl")
     steps_done = int(state.step)
     t0 = time.time()
+    from hifigan_tpu.utils.tb import prune_metrics
+
+    prune_metrics(metrics_path, steps_done)
     with open(metrics_path, "a") as mf:
         while steps_done < args.max_steps:
             base = jax.random.fold_in(jax.random.PRNGKey(args.seed + 4),

@@ -66,6 +66,43 @@ class ScalarWriter:
 _NON_METRIC_KEYS = {"step", "epoch", "wall_s"}
 
 
+def prune_metrics(metrics_path: str, resume_step: int) -> int:
+    """Drop ``metrics.jsonl`` rows with ``step > resume_step``.
+
+    A training run that resumes from an earlier checkpoint (orbax keeps
+    only the newest saves, so the latest restorable step can precede the
+    last logged one) would otherwise append duplicate, out-of-order step
+    rows — corrupting step-ordered consumers like
+    :func:`export_metrics_jsonl` and last-line readers.  Rewrites the
+    file atomically; returns the number of rows dropped."""
+    import os
+
+    if not os.path.exists(metrics_path):
+        return 0
+    kept, dropped, last = [], 0, -1
+    with open(metrics_path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                step = int(json.loads(line).get("step", -1))
+            except (json.JSONDecodeError, TypeError, ValueError):
+                dropped += 1
+                continue
+            if step > resume_step or step <= last:
+                dropped += 1
+            else:
+                kept.append(line)
+                last = step
+    if dropped:
+        tmp = metrics_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("".join(l + "\n" for l in kept))
+        os.replace(tmp, metrics_path)
+    return dropped
+
+
 def export_metrics_jsonl(metrics_path: str, logdir: str) -> int:
     """Convert a ``metrics.jsonl`` training log into TensorBoard events.
 

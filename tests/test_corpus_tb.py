@@ -73,3 +73,39 @@ def test_tb_export(tmp_path):
             for v in getattr(ev.summary, "value", []):
                 tags.add(v.tag)
         assert {"generator_loss", "mel_loss"} <= tags
+
+
+def test_prune_metrics_on_resume(tmp_path):
+    """Resuming from an earlier checkpoint must drop stale/future rows so
+    metrics.jsonl stays strictly step-increasing (ADVICE r4 #4)."""
+    from hifigan_tpu.utils.tb import prune_metrics
+
+    metrics = tmp_path / "metrics.jsonl"
+    rows = [
+        {"step": 4000, "mel": 0.20},
+        {"step": 4400, "mel": 0.19},
+        {"step": 4800, "mel": 0.18},
+        {"step": 5200, "mel": 0.17},
+        {"step": 5600, "mel": 0.16},
+        # duplicate out-of-order rows from an earlier buggy resume
+        {"step": 4400, "mel": 0.21},
+        {"step": 4800, "mel": 0.20},
+    ]
+    with open(metrics, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    dropped = prune_metrics(str(metrics), resume_step=4800)
+    assert dropped == 4  # 5200, 5600 (future) + the two duplicates
+    kept = [json.loads(l) for l in open(metrics)]
+    assert [r["step"] for r in kept] == [4000, 4400, 4800]
+    # values are the first (original) occurrence of each step
+    assert kept[1]["mel"] == 0.19
+
+    # idempotent, and a no-op leaves the file byte-identical
+    before = open(metrics).read()
+    assert prune_metrics(str(metrics), resume_step=4800) == 0
+    assert open(metrics).read() == before
+
+    # missing file is a harmless no-op
+    assert prune_metrics(str(tmp_path / "absent.jsonl"), 100) == 0
