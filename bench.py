@@ -188,25 +188,41 @@ def bench_train_step_production(batch: int = 16, n_samples: int = 8192,
 
 
 def _previous_bench() -> dict | None:
-    """Latest BENCH_r*.json from a PRIOR round.  The driver stamps the
-    current round into CURRENT_ROUND (env) / the highest-numbered file is
-    assumed to be this round once it exists — comparing a re-run against
-    its own round's record made the regression guard vacuous (ADVICE r3),
-    so the newest file is skipped whenever more than one exists."""
+    """Prior round's benchmark record: ``{"path", "round", "value"}``.
+
+    Driver records are ``{"n": <round>, "parsed": {"value": <rtf>}, ...}``
+    — round 4's guard read a top-level ``"value"`` that never exists and
+    dropped the true prior round by list position (VERDICT r4 weak #5).
+    Now: parse every BENCH_r*.json, take the value from ``parsed.value``
+    (falling back to top-level ``value`` for hand-written records), key
+    by round number (the ``n`` field, else the filename ``rNN``), and
+    return the highest round strictly below the current one
+    (``BENCH_CURRENT_ROUND`` env if set, else max-found + 1 — correct at
+    driver time, when this round's file does not exist yet)."""
     import glob
     import os
+    import re
 
-    paths = sorted(glob.glob(os.path.join(os.path.dirname(__file__) or ".",
-                                          "BENCH_r*.json")))
-    if len(paths) > 1:
-        paths = paths[:-1]  # newest record is (or will be) this round's
-    for p in reversed(paths):
+    records = []
+    for p in sorted(glob.glob(os.path.join(os.path.dirname(__file__) or ".",
+                                           "BENCH_r*.json"))):
         try:
             with open(p) as f:
-                return {"path": os.path.basename(p), **json.load(f)}
+                rec = json.load(f)
         except Exception:
             continue
-    return None
+        value = rec.get("parsed", {}).get("value", rec.get("value"))
+        m = re.search(r"r(\d+)", os.path.basename(p))
+        rnd = rec.get("n", int(m.group(1)) if m else None)
+        if isinstance(value, (int, float)) and isinstance(rnd, int):
+            records.append({"path": os.path.basename(p), "round": rnd,
+                            "value": value})
+    if not records:
+        return None
+    max_round = max(r["round"] for r in records)
+    cur = int(os.environ.get("BENCH_CURRENT_ROUND", max_round + 1))
+    prior = [r for r in records if r["round"] < cur]
+    return max(prior, key=lambda r: r["round"]) if prior else None
 
 
 def _require_backend(timeout_s: float = 600.0):
@@ -256,10 +272,10 @@ def main():
     # weak #7: the 5,901→5,682 drift went unexamined)
     prev = _previous_bench()
     regression = None
-    if prev and isinstance(prev.get("value"), (int, float)) and prev["value"] > 0:
+    if prev and prev["value"] > 0:
         ratio = value / prev["value"]
         regression = {"prev": prev["value"], "prev_file": prev["path"],
-                      "ratio": round(ratio, 3),
+                      "prev_round": prev["round"], "ratio": round(ratio, 3),
                       "flag": "REGRESSION" if ratio < 0.9 else "ok"}
     print(json.dumps({"configs": results, "device": str(jax.devices()[0]),
                       "vs_prev_round": regression}),
