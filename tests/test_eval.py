@@ -143,3 +143,33 @@ def test_report_skips_uncomputed_metrics():
         [{"speaker_similarity": 0.9, "emotion_similarity": 0.9}])
     assert rep["benchmarks"]["asr_bleu"]["status"] == "SKIPPED"
     assert rep["benchmarks"]["speaker_similarity"]["status"] == "PASS"
+
+
+def test_phone_cer():
+    from hifigan_tpu.eval.asr import phone_cer
+
+    assert phone_cer("aa bb cc", "aa bb cc") == 0.0
+    assert phone_cer("aa xx cc", "aa bb cc") == 1 / 3
+    assert phone_cer("", "aa bb") == 1.0
+    assert phone_cer("aa", "") == 1.0
+    assert phone_cer("", "") == 0.0
+    # insertion + deletion both count
+    assert abs(phone_cer("aa bb cc dd", "aa bb cc") - 1 / 3) < 1e-9
+
+
+def test_judge_competence_gate():
+    """An ASR judge that transcribes ground truth as gibberish must be
+    rejected (VERDICT r4 weak #2)."""
+    import numpy as np
+
+    from hifigan_tpu.eval.asr import judge_competence, load_competent_ctc
+
+    clips = [np.zeros(1600, np.float32)] * 2
+    refs = ["aa bb cc", "dd ee"]
+    good = judge_competence(lambda a: refs[0], [clips[0]], [refs[0]])
+    assert good["competent"] and good["ground_truth_cer"] == 0.0
+    bad = judge_competence(lambda a: "g k g f sh f", clips, refs)
+    assert not bad["competent"]
+    # nonexistent candidate dirs -> no judge, loud report
+    t, rep = load_competent_ctc(["/nonexistent/a", None], clips, refs)
+    assert t is None and rep["selected"] is None
