@@ -37,6 +37,12 @@ def last_step(path: str, offset: int) -> tuple[int | None, int]:
     """Parse new jsonl records past ``offset``; return (max step, new offset)."""
     if not os.path.exists(path):
         return None, offset
+    if os.path.getsize(path) < offset:
+        # the trainer truncated the file (resume prunes rows past the
+        # restored step — cli prune_metrics); a stale offset would seek
+        # past EOF and report no progress forever, killing healthy
+        # children at the grace limit.  Re-scan from the top.
+        offset = 0
     step = None
     with open(path) as f:
         f.seek(offset)
