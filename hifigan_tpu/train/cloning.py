@@ -168,7 +168,7 @@ def make_pair_sampler(
         inp = jax.vmap(lambda s_i, c_i, o: crop(content_bank, s_i, c_i, o, seg))(a, c, off)
         tgt = jax.vmap(lambda s_i, c_i, o: crop(content_bank, s_i, c_i, o, seg))(b, c, off)
         ref = jax.vmap(lambda s_i, c_i, o: crop(ref_bank, s_i, c_i, o, rseg))(b, c, roff)
-        return {"input": inp, "target": tgt, "ref": ref}
+        return {"input": inp, "target": tgt, "ref": ref, "tgt_spk": b}
 
     return sample
 
@@ -183,6 +183,8 @@ def make_cloning_train_step(
     multi_steps: int = 1,
     identity_fn: Optional[Callable[[Array], Array]] = None,
     identity_weight: float = 0.0,
+    identity_centroids: Optional[Array] = None,
+    identity_margin: float = 0.8,
 ) -> Callable[..., Tuple[GanTrainState, dict]]:
     """The jitted cloning GAN step.  Same loss family as the
     copy-synthesis step (:mod:`hifigan_tpu.train.train_step` — LSGAN /
@@ -252,17 +254,30 @@ def make_cloning_train_step(
                 aux["stft_loss"] = stft_loss
             if identity_fn is not None and identity_weight > 0:
                 # identity (speaker-similarity) term: cosine of a FROZEN
-                # trained judge encoder's embeddings between the clone
-                # and the target speaker's own rendition — pushes output
+                # trained judge encoder's embedding — pushes output
                 # cosine past the reference's 0.7 verification bar
                 # (/root/reference/speaker_embedding/ecapa_tdnn.py:212-225)
                 # that reconstruction losses alone leave at ~0.63
                 e_fake = identity_fn(gen_mel)
-                e_tgt = jax.lax.stop_gradient(identity_fn(target_mel))
-                cos = (e_fake * e_tgt).sum(-1) / jnp.maximum(
-                    jnp.linalg.norm(e_fake, axis=-1)
-                    * jnp.linalg.norm(e_tgt, axis=-1), 1e-8)
-                id_loss = (1.0 - cos).mean()
+                if identity_centroids is not None:
+                    # centroid-hinge form (round 5): verification scores
+                    # the clone against the target speaker's CENTROID,
+                    # not the parallel rendition, and the round-4
+                    # rendition-cosine (1 − cos) stayed flat for 40k
+                    # steps.  Hinge at the margin focuses gradient on
+                    # pairs still failing verification and goes silent
+                    # on pairs already past it.
+                    e_n = e_fake / jnp.maximum(
+                        jnp.linalg.norm(e_fake, axis=-1, keepdims=True),
+                        1e-8)
+                    cos = (e_n * identity_centroids[batch["tgt_spk"]]).sum(-1)
+                    id_loss = (jax.nn.relu(identity_margin - cos) ** 2).mean()
+                else:
+                    e_tgt = jax.lax.stop_gradient(identity_fn(target_mel))
+                    cos = (e_fake * e_tgt).sum(-1) / jnp.maximum(
+                        jnp.linalg.norm(e_fake, axis=-1)
+                        * jnp.linalg.norm(e_tgt, axis=-1), 1e-8)
+                    id_loss = (1.0 - cos).mean()
                 total = total + identity_weight * id_loss
                 aux["identity_loss"] = id_loss
                 aux["identity_cos"] = cos.mean()

@@ -271,3 +271,59 @@ def test_reference_mel_routes_extractor():
     # no reference ⇒ embeddings from the content mel itself (legacy)
     assert not np.allclose(np.asarray(o_self["speaker_embedding"]),
                            np.asarray(o1["speaker_embedding"]))
+
+
+def test_cloning_identity_centroid_hinge():
+    """Centroid-hinge identity loss (round 5): cosine is measured against
+    per-speaker centroids via the sampled target-speaker index, the hinge
+    zeroes gradient above the margin, and metrics stay finite."""
+    from hifigan_tpu.models.embeddings import EcapaTdnn
+    from hifigan_tpu.models.generator import GeneratorConfig
+    from hifigan_tpu.ops.stft import MelConfig
+    from hifigan_tpu.train import TrainConfig, create_train_state
+    from hifigan_tpu.train.cloning import (
+        build_cloning_banks,
+        make_cloning_train_step,
+        make_pair_sampler,
+    )
+
+    cfg = TrainConfig(
+        generator=GeneratorConfig(
+            input_channels=16, hidden_channels=32, upsample_factors=(4, 2),
+            resblock_kernel_sizes=(3,), resblock_dilations=((1, 3),),
+            lora_rank=4),
+        mel=MelConfig(n_fft=32, hop_length=8, win_length=32, n_mels=16),
+        warmup_steps=0, decay_steps=100,
+        ecapa_channels=32, emo_hidden=32, emo_layers=1, emo_heads=4,
+    )
+    seg = 256
+    content, ref, lengths = build_cloning_banks(n_speakers=2, n_contents=2)
+    sampler = make_pair_sampler(jnp.asarray(lengths), seg, seg, batch_size=2)
+    # sampler must expose the target-speaker index for the centroid gather
+    batch = sampler(jax.random.PRNGKey(0), jnp.asarray(content),
+                    jnp.asarray(ref))
+    assert batch["tgt_spk"].shape == (2,)
+    judge = EcapaTdnn(n_mels=16, channels=32)
+    jp = judge.init(jax.random.PRNGKey(9), jnp.zeros((1, 16, 32)))
+    emb_dim = judge.apply(jp, jnp.zeros((1, 16, 32))).shape[-1]
+    cents = jnp.eye(2, emb_dim)  # unit-norm per-speaker centroids
+
+    def run(margin):
+        state, vocoder, discs = create_train_state(
+            jax.random.PRNGKey(0), cfg,
+            mel_frames=seg // cfg.mel.hop_length, batch_size=2)
+        step = make_cloning_train_step(
+            vocoder, discs, cfg, sampler,
+            identity_fn=(lambda mel: judge.apply(jp, mel)),
+            identity_weight=8.0, identity_centroids=cents,
+            identity_margin=margin)
+        state, m = step(state, jax.random.PRNGKey(3),
+                        jnp.asarray(content), jnp.asarray(ref))
+        return m
+
+    m = run(0.8)
+    assert np.isfinite(float(m["identity_loss"]))
+    assert -1.0 <= float(m["identity_cos"]) <= 1.0
+    # a margin below any attainable cosine zeroes the hinge exactly
+    m_low = run(-1.0)
+    assert float(m_low["identity_loss"]) == 0.0

@@ -28,20 +28,32 @@ python -m hifigan_tpu.cli --cpu eval --compare_random --samples 8 \
 log "4/4 splice into EVAL_r04.json"
 python - <<'PY'
 import json
+import os
 
 doc = json.load(open("EVAL_r04.json"))
 trade = doc["s2st_policy_tradeoff"]
 speech = json.load(open("/tmp/eval_s2st_speech.json"))
+# fail loudly rather than splicing a partial speech run: a missing key
+# here means step 1 upstream failed and the stale EVAL value must not
+# silently survive next to refreshed judge metadata (ADVICE r4 #2)
+missing = [k for k in ("s2st_asr_bleu", "asr_judge", "restored_step",
+                       "checkpoint_dir") if k not in speech]
+if missing:
+    raise SystemExit(f"speech eval output incomplete — missing {missing}; "
+                     "not splicing")
 for k in ("s2st_asr_bleu", "asr_judge", "restored_step", "checkpoint_dir"):
-    if k in speech:
-        trade[k] = speech[k]
+    trade[k] = speech[k]
 trade["unit_vocoder_note"] = (
     "policy rows (token_f1/AL) are from the 32-sample full-grid run on the "
     "same s2st3 step; s2st_asr_bleu/asr_judge re-measured after the "
     "session-b unit-vocoder continuation")
 doc["voice_cloning"] = json.load(open("/tmp/eval_clone_r04.json"))
 doc["fidelity_copy_synthesis"] = json.load(open("/tmp/EVAL_r04_fidelity.json"))
-json.dump(doc, open("EVAL_r04.json", "w"), indent=1)
+# serialize fully before touching the target, then swap atomically
+tmp = "EVAL_r04.json.tmp"
+with open(tmp, "w") as f:
+    json.dump(doc, f, indent=1)
+os.replace(tmp, "EVAL_r04.json")
 print("EVAL_r04.json updated")
 PY
 log "done"
