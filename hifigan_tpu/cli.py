@@ -1105,7 +1105,12 @@ def cmd_eval_s2st(args):
     from hifigan_tpu.models.code_vocoder import CodeVocoder, CodeVocoderConfig
     from hifigan_tpu.models.streamspeech import StreamSpeechConfig
     from hifigan_tpu.streaming import run_streaming_session
-    from hifigan_tpu.streaming.agents import S2STAgent, S2TTAgent, WaitkS2TTAgent
+    from hifigan_tpu.streaming.agents import (
+        S2STAgent,
+        S2TTAgent,
+        WaitkS2STAgent,
+        WaitkS2TTAgent,
+    )
     from hifigan_tpu.streaming.runtime import S2STInference, S2STInferenceConfig
     from hifigan_tpu.train.checkpoint import CheckpointManager
     from hifigan_tpu.train.corpus import PHONES, FormantSpeechCorpus, plan_phone_ids
@@ -1244,40 +1249,69 @@ def cmd_eval_s2st(args):
                       "SKIPPED (gate: %s)", candidates,
                       json.dumps(judge_gate))
         if asr is not None:
-            hyps, refs, als = [], [], []
+            # per-policy SPEECH tradeoff (VERDICT r4 #8): the reference's
+            # output modality is speech (agent emits listenable translated
+            # audio, ref agent/speech_to_speech.streamspeech.agent.py:
+            # 743-770), so the AL/quality table must cover synthesized
+            # speech, not just text tokens.  "offline" feeds the whole
+            # source as one segment (latency anchor).
+            speech_policies = {
+                "offline": (S2STAgent, {}, 1_000_000),
+                "stride1": (S2STAgent, {}, args.segment_size),
+                "waitk3": (WaitkS2STAgent, {"k1": 3}, args.segment_size),
+            }
+            want_sp = [p.strip() for p in args.speech_policies.split(",")
+                       if p.strip()]
+            unknown_sp = set(want_sp) - set(speech_policies)
+            if not want_sp or unknown_sp:
+                raise SystemExit(
+                    f"--speech_policies: unknown {sorted(unknown_sp)}; "
+                    f"choose from {sorted(speech_policies)}")
             wav_dir = getattr(args, "save_wavs", None)
             if wav_dir:
                 os.makedirs(wav_dir, exist_ok=True)
-            for si, (wav, ref_ids) in enumerate(samples):
-                agent = S2STAgent(inf, detokenize=detok)
-                res = run_streaming_session(agent, wav, sample_rate=16_000,
-                                            segment_size_ms=args.segment_size)
-                out = res.waveform
-                hyps.append(asr(out) if len(out) else "")
-                refs.append(detok(list(ref_ids)))
-                als.append(res.average_lagging_ms)
-                if wav_dir and si < 8:
-                    # listening artifacts: (source, simultaneous output)
-                    import wave as wave_mod
+            report["s2st_speech_tradeoff"] = {}
+            for pi, pname in enumerate(want_sp):
+                cls_sp, kw_sp, seg_sp = speech_policies[pname]
+                hyps, refs, als = [], [], []
+                for si, (wav, ref_ids) in enumerate(samples):
+                    agent = cls_sp(inf, detokenize=detok, **kw_sp)
+                    res = run_streaming_session(
+                        agent, wav, sample_rate=16_000,
+                        segment_size_ms=seg_sp)
+                    out = res.waveform
+                    hyps.append(asr(out) if len(out) else "")
+                    refs.append(detok(list(ref_ids)))
+                    als.append(res.average_lagging_ms)
+                    if wav_dir and pi == 0 and si < 8:
+                        # listening artifacts: (source, simultaneous out)
+                        import wave as wave_mod
 
-                    for tag, audio in (("src", wav), ("out", out)):
-                        pcm = np.clip(np.asarray(audio) * 32767.0,
-                                      -32768, 32767).astype("<i2")
-                        with wave_mod.open(os.path.join(
-                                wav_dir, f"s2st_{si:02d}_{tag}.wav"),
-                                "wb") as wf:
-                            wf.setnchannels(1)
-                            wf.setsampwidth(2)
-                            wf.setframerate(16_000)
-                            wf.writeframes(pcm.tobytes())
-            report["s2st_asr_bleu"] = {
-                "bleu": round(corpus_bleu(hyps, refs), 2),
-                "average_lagging_ms": round(float(np.mean(als)), 1),
-                "n": len(samples),
-                "example_hyp": hyps[0][:120],
-                "example_ref": refs[0][:120],
-            }
-            log.info("s2st ASR-BLEU %.2f", report["s2st_asr_bleu"]["bleu"])
+                        for tag, audio in (("src", wav), ("out", out)):
+                            pcm = np.clip(np.asarray(audio) * 32767.0,
+                                          -32768, 32767).astype("<i2")
+                            with wave_mod.open(os.path.join(
+                                    wav_dir, f"s2st_{si:02d}_{tag}.wav"),
+                                    "wb") as wf:
+                                wf.setnchannels(1)
+                                wf.setsampwidth(2)
+                                wf.setframerate(16_000)
+                                wf.writeframes(pcm.tobytes())
+                row = {
+                    "bleu": round(corpus_bleu(hyps, refs), 2),
+                    "average_lagging_ms": round(float(np.mean(als)), 1),
+                    "n": len(samples),
+                    "example_hyp": hyps[0][:120],
+                    "example_ref": refs[0][:120],
+                }
+                report["s2st_speech_tradeoff"][pname] = row
+                log.info("speech %s: ASR-BLEU %.2f AL=%.0fms", pname,
+                         row["bleu"], row["average_lagging_ms"])
+            # back-compat headline row: the streaming (stride1) point if
+            # requested, else the first policy run
+            head = "stride1" if "stride1" in want_sp else want_sp[0]
+            report["s2st_asr_bleu"] = dict(
+                report["s2st_speech_tradeoff"][head], policy=head)
     if args.output:
         with open(args.output, "w") as f:
             json.dump(report, f, indent=2)
@@ -1685,6 +1719,10 @@ def main(argv=None):
                     help="comma-separated subset of the text-policy grid "
                          "to run ('none' skips it — e.g. to refresh only "
                          "the end-to-end speech ASR-BLEU)")
+    es.add_argument("--speech_policies", default="stride1",
+                    help="comma-separated subset of the SPEECH policy "
+                         "grid (offline, stride1, waitk3) for end-to-end "
+                         "ASR-BLEU — each row synthesizes all samples")
     es.add_argument("--segment_size", type=int, default=320)
     es.add_argument("--save_wavs", default=None,
                     help="write (source, simultaneous-output) WAV pairs "

@@ -106,21 +106,24 @@ class StreamEvaluator:
         wav_np = np.asarray(wav)
         wall = time.perf_counter() - t0
         gen_mel = self.mel_fn(wav[:, 0, :])
-        spk_sim = float(cosine_similarity(
-            self.speaker_embed_fn(mel), self.speaker_embed_fn(gen_mel)
-        )[0])
-        emo_sim = float(cosine_similarity(
-            self.emotion_embed_fn(mel), self.emotion_embed_fn(gen_mel)
-        )[0])
-        # copy-synthesis fidelity: input log-mel vs the log-mel of the
-        # synthesized waveform (the BASELINE.md mel-L1 / MCD metrics;
-        # reference evaluation_framework.py report semantics)
-        # fidelity is scored over VALID frames only: full utterances are
-        # zero-padded into one shared compile bucket, and including the
-        # trivially-matched silent tail would deflate mel-L1/MCD
+        # ALL fidelity metrics are scored over VALID frames only: full
+        # utterances are zero-padded into one shared compile bucket, and
+        # the padded tail corrupts pooled metrics both ways — mostly-
+        # silent buckets inflate embedding cosines (both embeddings
+        # dominated by shared silence), while a long utterance's noisy
+        # generated tail can collapse the attention-pooled emotion
+        # embedding (round-4 sample 1: emo-SIM 0.418 full-bucket vs
+        # 0.858 on valid frames, with every other metric healthy)
         frames = min(mel.shape[-1], gen_mel.shape[-1])
         if valid_frames is not None:
             frames = min(frames, int(valid_frames))
+        mel_v, gen_v = mel[..., :frames], gen_mel[..., :frames]
+        spk_sim = float(cosine_similarity(
+            self.speaker_embed_fn(mel_v), self.speaker_embed_fn(gen_v)
+        )[0])
+        emo_sim = float(cosine_similarity(
+            self.emotion_embed_fn(mel_v), self.emotion_embed_fn(gen_v)
+        )[0])
         from hifigan_tpu.eval.metrics import mcd, mel_l1
 
         result = {

@@ -173,3 +173,36 @@ def test_judge_competence_gate():
     # nonexistent candidate dirs -> no judge, loud report
     t, rep = load_competent_ctc(["/nonexistent/a", None], clips, refs)
     assert t is None and rep["selected"] is None
+
+
+def test_evaluator_sims_masked_to_valid_frames():
+    """Embedding similarities must be scored over valid frames only:
+    the zero-padded bucket tail inflates cosines for short clips (both
+    embeddings dominated by shared silence) and a noisy generated tail
+    collapses pooled embeddings for long clips (round-4 sample 1:
+    emo-SIM 0.418 full-bucket vs 0.858 valid-frame)."""
+    from hifigan_tpu.eval.evaluator import StreamEvaluator
+
+    M, F, valid = 4, 10, 6
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.normal(size=(1, M, F)).astype(np.float32))
+
+    def synthesize(m):
+        # perfect copy on valid frames, garbage on the padded tail
+        out = np.array(m)
+        out[..., valid:] = 7.0
+        return jnp.asarray(out.reshape(1, 1, M * F))
+
+    ev = StreamEvaluator(
+        synthesize_fn=synthesize,
+        speaker_embed_fn=lambda m: jnp.mean(m, axis=-1),
+        emotion_embed_fn=lambda m: jnp.mean(m * m, axis=-1),
+        mel_fn=lambda w: jnp.reshape(w, (1, M, F)),
+    )
+    r = ev.evaluate_single_sample(mel, valid_frames=valid)
+    assert r["speaker_similarity"] == pytest.approx(1.0, abs=1e-5)
+    assert r["emotion_similarity"] == pytest.approx(1.0, abs=1e-5)
+    assert r["mel_l1"] == pytest.approx(0.0, abs=1e-6)
+    # without the mask the tail corruption leaks into the cosines
+    r_full = ev.evaluate_single_sample(mel)
+    assert r_full["speaker_similarity"] < 0.999
