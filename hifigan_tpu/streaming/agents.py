@@ -289,13 +289,17 @@ class S2STAgent(S2TTAgent):
     unit generation; its committed text is exposed for logging and
     drives the ▁-truncation/EOS-drain semantics).
 
-    ``units_from="decoder"`` (default) feeds the MT decoder's features
-    into the T2U encoder so the unit stream is consistent with the
-    emitted text (reference agent.py:638-679); ``"encoder"`` keeps the
-    L2-model wiring (T2U over encoder output,
-    /root/reference/streamspeech_integration.py:357)."""
+    ``units_from="encoder"`` (default) is the reference's L2-model wiring
+    (T2U over encoder output, /root/reference/
+    streamspeech_integration.py:357); its source-time unit CTC stream
+    carries the silence signature that lets pau units be reinserted at
+    long blank runs (units_from_prefix), which ``"decoder"`` — the MT-
+    decoder-features wiring, reference agent.py:638-679 — cannot (its
+    T2U frames are a uniform 8 per text token).  Measured end-to-end at
+    unit-vocoder step 14400: encoder-fed 21.6 speech ASR-BLEU @ 316 ms
+    vs decoder-fed 14.0 @ 338 ms."""
 
-    def __init__(self, inference, *, units_from: str = "decoder", **kw):
+    def __init__(self, inference, *, units_from: str = "encoder", **kw):
         super().__init__(inference, **kw)
         assert units_from in ("decoder", "encoder")
         self.units_from = units_from

@@ -150,6 +150,11 @@ class S2STInferenceConfig:
     bos_id: int = 1
     eos_id: int = 2
     ctc_blank: int = 0
+    # encoder-fed unit streams: reinsert one pau unit where the blank run
+    # between consecutive units exceeds this many T2U frames (None=off).
+    # The unit vocab conflates pau with the CTC blank, so a plain
+    # collapse mutes every inter-word pause (see decode.ctc_prefix_frames)
+    unit_silence_gap: Optional[int] = 64
 
 
 class S2STInference:
@@ -617,8 +622,12 @@ class S2STInference:
     # ---- units + waveform tail ----
 
     def units_from_prefix(self, unit_argmax: np.ndarray, emitted_units: int):
-        """Unit CTC prefix continuation (reference ctc_generator.py:103-107)."""
-        new_units, total = ctc_prefix_frames(unit_argmax, emitted_units, self.cfg.ctc_blank)
+        """Unit CTC prefix continuation (reference ctc_generator.py:103-107),
+        with pau reinsertion at long blank runs (source-time T2U frames
+        carry the silence signature; the decoder-fed stream does not)."""
+        new_units, total = ctc_prefix_frames(
+            unit_argmax, emitted_units, self.cfg.ctc_blank,
+            silence_gap=self.cfg.unit_silence_gap)
         return new_units, total
 
     def units_from_text(

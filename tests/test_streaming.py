@@ -46,6 +46,28 @@ def test_ctc_collapse_and_prefix():
     assert new == [3, 5] and total == 4
 
 
+def test_ctc_prefix_silence_reinsertion():
+    """Long blank runs between units become explicit pau (= blank id)
+    units: the unit vocab conflates pau with the CTC blank, so without
+    this every inter-word pause is muted (decode.ctc_prefix_frames)."""
+    # tokens at frames 2, 5, 20; gap 5-2=3 small, 20-5=15 > gap of 8
+    ids = [0, 0, 3, 0, 0, 4] + [0] * 14 + [5]
+    new, total = ctc_prefix_frames(ids, 0, 0, silence_gap=8)
+    assert new == [3, 4, 0, 5] and total == 4
+    # leading silence: first token later than the gap
+    ids2 = [0] * 10 + [7]
+    new2, _ = ctc_prefix_frames(ids2, 0, 0, silence_gap=8)
+    assert new2 == [0, 7]
+    # prefix stability: re-decoding with a longer prefix never rewrites
+    # already-emitted units
+    head, _ = ctc_prefix_frames(ids[:6], 0, 0, silence_gap=8)
+    cont, _ = ctc_prefix_frames(ids, len(head), 0, silence_gap=8)
+    assert head + cont == new
+    # off by default
+    plain, _ = ctc_prefix_frames(ids, 0, 0)
+    assert plain == [3, 4, 5]
+
+
 def test_trim_to_whole_words():
     assert trim_to_whole_words(["▁he", "llo", "▁wor", "ld"]) == ["▁he", "llo"]
     assert trim_to_whole_words(["llo"]) == []
