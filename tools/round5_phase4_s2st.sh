@@ -14,7 +14,7 @@ while [ ! -f runs/logs/r5_clone_done ] && [ "$waited" -lt "$WAIT_MAX" ]; do
 done
 log "TPU slot free (waited ${waited}s); starting s2st3 continuation"
 python tools/watchdog.py --metrics runs/s2st3/metrics.jsonl \
-  --grace 3000 --limit 600 --max-wall "${S2ST_MAX_WALL:-4200}" \
+  --grace 3000 --limit 600 --max-wall "${S2ST_MAX_WALL:-3000}" \
   --log runs/logs/r5_s2st_child.log -- \
   python -m hifigan_tpu.cli train-s2st --checkpoint_dir runs/s2st3 --resume \
   --max_steps 160000 --prefix_mask_prob 0.65 --prefix_min_frac 0.1 \

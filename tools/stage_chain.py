@@ -108,7 +108,7 @@ def main():
     corpus = FormantSpeechCorpus(n_speakers=32)
     rows = {k: {"hyps": [], "refs": []} for k in
             ("teacher_units_teacher_dur", "teacher_units_pred_dur",
-             "decoder_fed_gold_text")}
+             "decoder_fed_gold_text", "encoder_fed_units")}
     gate_wavs, gate_texts = [], []
     samples = []
     for i in range(args.samples):
@@ -151,6 +151,13 @@ def main():
         rows["decoder_fed_gold_text"]["hyps"].append(
             asr(out) if len(out) else "")
         rows["decoder_fed_gold_text"]["refs"].append(ref_text)
+        # encoder-fed units (the reference's L2 wiring,
+        # streamspeech_integration.py:357): unit CTC over encoder output
+        enc_units, _ = inf.units_from_prefix(enc["unit_argmax"], 0)
+        out = (synth_units(np.asarray(enc_units, np.int32))
+               if len(enc_units) else np.zeros(0, np.float32))
+        rows["encoder_fed_units"]["hyps"].append(asr(out) if len(out) else "")
+        rows["encoder_fed_units"]["refs"].append(ref_text)
 
     report = {"n": args.samples,
               "unit_vocoder_step": int(uv_state.step),
