@@ -613,7 +613,8 @@ def cmd_train_clone(args):
         deep_feature_matching=args.deep_fm, multi_steps=spc,
         identity_fn=identity_fn, identity_weight=args.identity_weight,
         identity_centroids=id_centroids,
-        identity_margin=args.identity_margin)
+        identity_margin=args.identity_margin,
+        identity_finetune=args.identity_finetune)
     metrics_path = os.path.join(args.checkpoint_dir, "metrics.jsonl")
     os.makedirs(args.checkpoint_dir, exist_ok=True)
     steps_done = int(state.step)
@@ -1623,6 +1624,11 @@ def main(argv=None):
                     help="centroid-cosine hinge margin: pairs above this "
                          "get zero identity gradient (the eval "
                          "verification bar is 0.7)")
+    tc.add_argument("--identity_finetune", action="store_true",
+                    help="update ONLY the conditioning pathway (embedding "
+                         "extractor + FiLM); the synthesis trunk stays "
+                         "frozen so the identity loss cannot damage "
+                         "fidelity")
     tc.set_defaults(fn=cmd_train_clone)
 
     ts = sub.add_parser("train-s2st",

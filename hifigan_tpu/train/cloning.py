@@ -185,6 +185,7 @@ def make_cloning_train_step(
     identity_weight: float = 0.0,
     identity_centroids: Optional[Array] = None,
     identity_margin: float = 0.8,
+    identity_finetune: bool = False,
 ) -> Callable[..., Tuple[GanTrainState, dict]]:
     """The jitted cloning GAN step.  Same loss family as the
     copy-synthesis step (:mod:`hifigan_tpu.train.train_step` — LSGAN /
@@ -194,6 +195,20 @@ def make_cloning_train_step(
     rendition, so gradients teach the FiLM pathway to carry identity."""
     tx = make_optimizer(cfg)
     w = cfg.loss_weights
+
+    def _is_conditioning(path) -> bool:
+        keys = "/".join(str(getattr(p, "key", p)) for p in path)
+        return "embedding_extractor" in keys or "film_" in keys
+
+    def _mask_to_conditioning(grads):
+        return jax.tree_util.tree_map_with_path(
+            lambda p, g: g if _is_conditioning(p) else jnp.zeros_like(g),
+            grads)
+
+    def _restore_frozen(new_params, old_params):
+        return jax.tree_util.tree_map_with_path(
+            lambda p, n, o: n if _is_conditioning(p) else o,
+            new_params, old_params)
 
     def step(state: GanTrainState, key: Array, content_bank: Array,
              ref_bank: Array):
@@ -285,9 +300,21 @@ def make_cloning_train_step(
 
         (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
             state.gen_params)
+        if identity_finetune:
+            # conditioning-only fine-tune: the identity objective may
+            # only move the speaker pathway (embedding extractor + FiLM);
+            # the synthesis trunk is frozen so fidelity cannot be
+            # destroyed (round 4's full-model identity continuation
+            # silently dropped eval verification 0.50 -> 0.00 — see
+            # docs/ROUND_NOTES.md round-5 notes).  Grads are zeroed AND
+            # frozen params restored post-update (belt and braces: adamw
+            # weight decay would otherwise still shrink frozen params).
+            g_grads = _mask_to_conditioning(g_grads)
         g_updates, g_opt_state = tx.update(g_grads, state.gen_opt_state,
                                            state.gen_params)
         gen_params = optax.apply_updates(state.gen_params, g_updates)
+        if identity_finetune:
+            gen_params = _restore_frozen(gen_params, state.gen_params)
 
         new_state = state.replace(
             step=state.step + 1,

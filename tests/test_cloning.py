@@ -327,3 +327,63 @@ def test_cloning_identity_centroid_hinge():
     # a margin below any attainable cosine zeroes the hinge exactly
     m_low = run(-1.0)
     assert float(m_low["identity_loss"]) == 0.0
+
+
+def test_cloning_identity_finetune_freezes_trunk():
+    """identity_finetune must update ONLY the conditioning pathway
+    (embedding extractor + FiLM) and leave the synthesis trunk bit-
+    identical (round 4's full-model identity run destroyed eval
+    verification; the trunk freeze makes that impossible)."""
+    from hifigan_tpu.models.embeddings import EcapaTdnn
+    from hifigan_tpu.models.generator import GeneratorConfig
+    from hifigan_tpu.ops.stft import MelConfig
+    from hifigan_tpu.train import TrainConfig, create_train_state
+    from hifigan_tpu.train.cloning import (
+        build_cloning_banks,
+        make_cloning_train_step,
+        make_pair_sampler,
+    )
+
+    cfg = TrainConfig(
+        generator=GeneratorConfig(
+            input_channels=16, hidden_channels=32, upsample_factors=(4, 2),
+            resblock_kernel_sizes=(3,), resblock_dilations=((1, 3),),
+            lora_rank=4),
+        mel=MelConfig(n_fft=32, hop_length=8, win_length=32, n_mels=16),
+        warmup_steps=0, decay_steps=100,
+        ecapa_channels=32, emo_hidden=32, emo_layers=1, emo_heads=4,
+    )
+    seg = 256
+    content, ref, lengths = build_cloning_banks(n_speakers=2, n_contents=2)
+    sampler = make_pair_sampler(jnp.asarray(lengths), seg, seg, batch_size=2)
+    judge = EcapaTdnn(n_mels=16, channels=32)
+    jp = judge.init(jax.random.PRNGKey(9), jnp.zeros((1, 16, 32)))
+    emb_dim = judge.apply(jp, jnp.zeros((1, 16, 32))).shape[-1]
+    state, vocoder, discs = create_train_state(
+        jax.random.PRNGKey(0), cfg,
+        mel_frames=seg // cfg.mel.hop_length, batch_size=2)
+    step = make_cloning_train_step(
+        vocoder, discs, cfg, sampler,
+        identity_fn=(lambda mel: judge.apply(jp, mel)),
+        identity_weight=8.0, identity_centroids=jnp.eye(2, emb_dim),
+        identity_finetune=True)
+    import jax.tree_util as jtu
+
+    # the jitted step donates the input state: snapshot to host first
+    old_params = jtu.tree_map(lambda x: np.asarray(x).copy(),
+                              state.gen_params)
+    new_state, m = step(state, jax.random.PRNGKey(3),
+                        jnp.asarray(content), jnp.asarray(ref))
+    changed_cond = changed_trunk = 0
+    for (path, old), (_, new) in zip(
+            jtu.tree_leaves_with_path(old_params),
+            jtu.tree_leaves_with_path(new_state.gen_params)):
+        keys = "/".join(str(getattr(p, "key", p)) for p in path)
+        moved = not np.array_equal(np.asarray(old), np.asarray(new))
+        if "embedding_extractor" in keys or "film_" in keys:
+            changed_cond += moved
+        else:
+            assert not moved, f"trunk param {keys} moved under finetune"
+            changed_trunk += moved
+    assert changed_cond > 0  # the conditioning pathway actually trains
+    assert changed_trunk == 0

@@ -22,7 +22,7 @@ python tools/watchdog.py --metrics runs/cloning/metrics.jsonl \
   --grace 1800 --limit 600 --max-wall "${CLONE_MAX_WALL:-5400}" \
   --log runs/logs/r5_clone_child.log -- \
   python -m hifigan_tpu.cli train-clone --checkpoint_dir runs/cloning \
-  --bf16 --resume --identity_weight 20.0 --identity_margin 0.8 \
+  --bf16 --resume --identity_weight 20.0 --identity_margin 0.8 --identity_finetune \
   --max_steps 400000 --steps_per_call 8 --save_steps 1600 --log_every 320
 log "done rc=$?"
 touch runs/logs/r5_clone_done
