@@ -7,7 +7,7 @@ cd /root/repo
 log() { echo "[finish $(date +%H:%M:%S)] $*"; }
 
 log "waiting for phase 3 (cloning)"
-while [ ! -f runs/logs/r5_clone_done ]; do sleep 30; done
+while [ ! -f runs/logs/r5_clone_evalready ]; do sleep 30; done  # touched manually after best-checkpoint selection
 log "1/4 voice-cloning transfer grid (final cloning checkpoint)"
 python -m hifigan_tpu.cli --cpu eval-clone --full_pairs \
   --output /tmp/eval_clone_r05.json > runs/logs/r5_eval_clone.log 2>&1
