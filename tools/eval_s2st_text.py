@@ -24,6 +24,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint_dir", default="runs/s2st3")
     ap.add_argument("--eval_samples", type=int, default=32)
+    ap.add_argument("--steps", type=int, nargs="*", default=None,
+                    help="rank these checkpoint steps instead of writing "
+                         "s2st_eval.json for the latest")
     ap.add_argument("--dataset_size", type=int, default=512)
     ap.add_argument("--batch_size", type=int, default=16)
     args = ap.parse_args()
@@ -48,11 +51,23 @@ def main():
     state, model, _ = create_s2st_state(
         jax.random.PRNGKey(0), small_config(), task)
     mgr = CheckpointManager(args.checkpoint_dir)
-    state = mgr.restore(state)
-    log.info("restored %s step %d", args.checkpoint_dir, int(state.step))
-
     held = build_s2st_bank(replace(task, n_utterances=args.eval_samples),
                            idx_offset=1_000_000)
+    if args.steps:
+        rows = []
+        for s in args.steps:
+            st = mgr.restore(state, step=int(s))
+            rep = evaluate_token_f1(model, st.params, task, held)
+            rep["step"] = int(s)
+            log.info("step %d: token_f1 %.3f exact %.3f", s,
+                     rep["token_f1"], rep["exact_match"])
+            rows.append(rep)
+        rows.sort(key=lambda r: r["token_f1"], reverse=True)
+        print(json.dumps({"ranking": rows}, indent=2))
+        return
+
+    state = mgr.restore(state)
+    log.info("restored %s step %d", args.checkpoint_dir, int(state.step))
     report = evaluate_token_f1(model, state.params, task, held)
     report["step"] = int(state.step)
     out = os.path.join(args.checkpoint_dir, "s2st_eval.json")
