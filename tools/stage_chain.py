@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--checkpoint_dir", default="runs/s2st3")
     ap.add_argument("--unit_vocoder", default="runs/unit_vocoder")
+    ap.add_argument("--uv_step", type=int, default=None,
+                    help="restore this unit-vocoder step instead of latest "
+                         "(round-5 checkpoint ranking)")
     ap.add_argument("--output", default=None)
     args = ap.parse_args()
 
@@ -75,7 +78,8 @@ def main():
     task = UnitVocoderTaskConfig(code=CodeVocoderConfig(**cd))
     uv_state, cv, _ = create_unit_vocoder_state(
         jax.random.PRNGKey(0), TrainConfig(), task)
-    uv_state = CheckpointManager(args.unit_vocoder).restore(uv_state)
+    uv_state = CheckpointManager(args.unit_vocoder).restore(
+        uv_state, step=args.uv_step)
     cvp = uv_state.gen_params
     inf = S2STInference(model, state.params, cv, cvp,
                         S2STInferenceConfig(max_target_len=64))
