@@ -31,6 +31,10 @@ def main():
                     help="restore this unit-vocoder step instead of latest "
                          "(round-5 checkpoint ranking)")
     ap.add_argument("--output", default=None)
+    ap.add_argument("--stages", default=None,
+                    help="comma-separated subset of stages to run (default "
+                         "all four) — e.g. 'encoder_fed_units' for fast "
+                         "end-to-end checkpoint ranking")
     args = ap.parse_args()
 
     import jax
@@ -110,9 +114,17 @@ def main():
         return np.asarray(wav)[0, 0, :max(real, 0)]
 
     corpus = FormantSpeechCorpus(n_speakers=32)
-    rows = {k: {"hyps": [], "refs": []} for k in
-            ("teacher_units_teacher_dur", "teacher_units_pred_dur",
-             "decoder_fed_gold_text", "encoder_fed_units")}
+    all_stages = ("teacher_units_teacher_dur", "teacher_units_pred_dur",
+                  "decoder_fed_gold_text", "encoder_fed_units")
+    if args.stages:
+        want = set(args.stages.split(","))
+        unknown = want - set(all_stages)
+        if unknown:
+            raise SystemExit(f"unknown stages: {sorted(unknown)} "
+                             f"(choose from {all_stages})")
+    else:
+        want = set(all_stages)
+    rows = {k: {"hyps": [], "refs": []} for k in all_stages if k in want}
     gate_wavs, gate_texts = [], []
     samples = []
     for i in range(args.samples):
@@ -136,32 +148,40 @@ def main():
             tplan, max_dur=cv.config.max_duration_per_unit,
             frame_seconds=task.frame_seconds)
         # A: teacher everything — the unit-vocoder ceiling
-        out = synth_units(units, durs)
-        rows["teacher_units_teacher_dur"]["hyps"].append(asr(out))
-        rows["teacher_units_teacher_dur"]["refs"].append(ref_text)
+        if "teacher_units_teacher_dur" in rows:
+            out = synth_units(units, durs)
+            rows["teacher_units_teacher_dur"]["hyps"].append(asr(out))
+            rows["teacher_units_teacher_dur"]["refs"].append(ref_text)
         # B: predicted durations
-        out = synth_units(units)
-        rows["teacher_units_pred_dur"]["hyps"].append(asr(out))
-        rows["teacher_units_pred_dur"]["refs"].append(ref_text)
-        # C: decoder-fed units from the gold text prefix
-        from hifigan_tpu.streaming.features import OnlineFbank
+        if "teacher_units_pred_dur" in rows:
+            out = synth_units(units)
+            rows["teacher_units_pred_dur"]["hyps"].append(asr(out))
+            rows["teacher_units_pred_dur"]["refs"].append(ref_text)
+        enc = None
+        if "decoder_fed_gold_text" in rows or "encoder_fed_units" in rows:
+            from hifigan_tpu.streaming.features import OnlineFbank
 
-        fb = OnlineFbank()
-        fb.push(np.asarray(wav, np.float32))
-        enc = inf.encode_prefix(fb.frames())
-        dec_units, _tot = inf.units_from_text(enc["enc"], list(ref_ids), 0)
-        out = (synth_units(np.asarray(dec_units, np.int32))
-               if len(dec_units) else np.zeros(0, np.float32))
-        rows["decoder_fed_gold_text"]["hyps"].append(
-            asr(out) if len(out) else "")
-        rows["decoder_fed_gold_text"]["refs"].append(ref_text)
+            fb = OnlineFbank()
+            fb.push(np.asarray(wav, np.float32))
+            enc = inf.encode_prefix(fb.frames())
+        # C: decoder-fed units from the gold text prefix
+        if "decoder_fed_gold_text" in rows:
+            dec_units, _tot = inf.units_from_text(enc["enc"],
+                                                  list(ref_ids), 0)
+            out = (synth_units(np.asarray(dec_units, np.int32))
+                   if len(dec_units) else np.zeros(0, np.float32))
+            rows["decoder_fed_gold_text"]["hyps"].append(
+                asr(out) if len(out) else "")
+            rows["decoder_fed_gold_text"]["refs"].append(ref_text)
         # encoder-fed units (the reference's L2 wiring,
         # streamspeech_integration.py:357): unit CTC over encoder output
-        enc_units, _ = inf.units_from_prefix(enc["unit_argmax"], 0)
-        out = (synth_units(np.asarray(enc_units, np.int32))
-               if len(enc_units) else np.zeros(0, np.float32))
-        rows["encoder_fed_units"]["hyps"].append(asr(out) if len(out) else "")
-        rows["encoder_fed_units"]["refs"].append(ref_text)
+        if "encoder_fed_units" in rows:
+            enc_units, _ = inf.units_from_prefix(enc["unit_argmax"], 0)
+            out = (synth_units(np.asarray(enc_units, np.int32))
+                   if len(enc_units) else np.zeros(0, np.float32))
+            rows["encoder_fed_units"]["hyps"].append(
+                asr(out) if len(out) else "")
+            rows["encoder_fed_units"]["refs"].append(ref_text)
 
     report = {"n": args.samples,
               "unit_vocoder_step": int(uv_state.step),
