@@ -513,21 +513,32 @@ def cmd_train_clone(args):
             state.gen_params, etpl.ecapa_params, etpl.emo_params))
         log.info("grafted pretrained encoders from %s (step %d)",
                  args.encoders, int(etpl.step))
+    # the frozen speaker judge serves two roles: the optional identity
+    # LOSS (weight > 0) and the always-on eval-protocol PROBE (round-5
+    # lesson: both identity-loss lineages degraded verification, so the
+    # plain-recipe continuation must still log probe_verified at every
+    # save to rank checkpoints on the metric that ships)
     identity_fn = None
-    if args.identity_weight > 0 and not args.tiny:
+    if not args.tiny:
         id_dir = args.identity_encoders or _first_dir(*ENCODER_RUNS)
-        if id_dir is None:
+        if id_dir is None and args.identity_weight > 0:
             raise SystemExit("--identity_weight needs a trained encoder "
                              "checkpoint (none of "
                              f"{', '.join(ENCODER_RUNS)} exists)")
-        etpl2, spk_judge, _, _ = create_encoder_state(
-            jax.random.PRNGKey(0), ecfg)
-        etpl2 = CheckpointManager(id_dir).restore(etpl2)
-        spk_judge_params = strip_classifier(etpl2.ecapa_params)
-        identity_fn = lambda mel: spk_judge.apply(spk_judge_params, mel)  # noqa: E731
-        log.info("identity loss: frozen judge ECAPA from %s (step %d), "
-                 "weight %.2f", id_dir, int(etpl2.step),
-                 args.identity_weight)
+        if id_dir is not None:
+            etpl2, spk_judge, _, _ = create_encoder_state(
+                jax.random.PRNGKey(0), ecfg)
+            etpl2 = CheckpointManager(id_dir).restore(etpl2)
+            spk_judge_params = strip_classifier(etpl2.ecapa_params)
+            identity_fn = lambda mel: spk_judge.apply(spk_judge_params, mel)  # noqa: E731
+            if args.identity_weight > 0:
+                log.info("identity loss: frozen judge ECAPA from %s "
+                         "(step %d), weight %.2f", id_dir,
+                         int(etpl2.step), args.identity_weight)
+            else:
+                log.info("eval-protocol probe judge: frozen ECAPA from "
+                         "%s (step %d); identity loss OFF", id_dir,
+                         int(etpl2.step))
 
     n_contents = 8 if args.tiny else args.n_contents
     n_speakers = 4 if args.tiny else 32
@@ -611,7 +622,8 @@ def cmd_train_clone(args):
     step_fn = make_cloning_train_step(
         vocoder, discs, cfg, sampler,
         deep_feature_matching=args.deep_fm, multi_steps=spc,
-        identity_fn=identity_fn, identity_weight=args.identity_weight,
+        identity_fn=identity_fn if args.identity_weight > 0 else None,
+        identity_weight=args.identity_weight,
         identity_centroids=id_centroids,
         identity_margin=args.identity_margin,
         identity_finetune=args.identity_finetune)
